@@ -1,0 +1,206 @@
+"""`SparkGDS`: the user-facing facade, mirroring the GDS Python client.
+
+The reference ships a Python client (`graphdatascience` on PyPI) whose
+surface is ``gds.<algorithm>.<mode>`` with modes stream / stats / mutate /
+write / estimate (SURVEY.md §2.A, §3.3). This facade keeps that shape so
+GDS documentation maps 1:1::
+
+    gds = SparkGDS(spark, catalog_dir="/data/graphs")
+    G = gds.graph.project("social", edges_df, orientation="UNDIRECTED")
+    gds.page_rank.stream(G, damping=0.85)        # → DataFrame(node_id, score)
+    gds.wcc.stats(G)                              # → dict of summary metrics
+    gds.page_rank.mutate(G, mutate_property="pr") # → new node-table snapshot
+    gds.page_rank.write(G, path="/out/pr")        # → parquet sink
+    gds.page_rank.estimate(G)                     # → advisory cost model
+
+stream results come back keyed by **original** node id (IdMap reverse).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.degree import degree_centrality
+from graph_data_science_spark.algorithms.labelprop import label_propagation
+from graph_data_science_spark.algorithms.pagerank import page_rank
+from graph_data_science_spark.algorithms.scc import scc
+from graph_data_science_spark.algorithms.triangles import (
+    local_clustering_coefficient,
+    triangle_count,
+)
+from graph_data_science_spark.algorithms.wcc import wcc
+from graph_data_science_spark.catalog import GraphCatalog
+from graph_data_science_spark.projection import ProjectedGraph, project
+
+
+def _to_original_ids(graph: ProjectedGraph, result: DataFrame, value_cols: list[str]) -> DataFrame:
+    return (
+        result.join(graph.nodes.select("vid", "orig_id"), "vid")
+        .select(F.col("orig_id").alias("node_id"), *value_cols)
+    )
+
+
+class _Proc:
+    """One algorithm in all five execution modes."""
+
+    value_cols: list[str] = []
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def _run(self, graph: ProjectedGraph, **config) -> tuple[DataFrame, dict]:
+        raise NotImplementedError
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        result, _ = self._run(graph, **config)
+        return _to_original_ids(graph, result, self.value_cols)
+
+    def stats(self, graph: ProjectedGraph, **config) -> dict:
+        _, stats = self._run(graph, **config)
+        return stats
+
+    def mutate(self, graph: ProjectedGraph, mutate_property: str, **config) -> dict:
+        result, stats = self._run(graph, **config)
+        if self.gds.catalog is None:
+            raise ValueError("mutate mode requires a catalog_dir")
+        vc = self.value_cols[0]
+        self.gds.catalog.mutate(graph.name, result.select("vid", vc), mutate_property)
+        return dict(stats, mutate_property=mutate_property, node_properties_written=graph.node_count)
+
+    def write(self, graph: ProjectedGraph, path: str, **config) -> dict:
+        result, stats = self._run(graph, **config)
+        out = _to_original_ids(graph, result, self.value_cols)
+        out.write.mode("overwrite").parquet(path)
+        return dict(stats, path=path, node_properties_written=graph.node_count)
+
+    def estimate(self, graph: ProjectedGraph, max_iterations: int = 20, **config) -> dict:
+        """Advisory cost model (reference memory-estimation analogue):
+        input sizes, per-superstep shuffle volume, superstep bound."""
+        state_bytes = graph.node_count * 40
+        msg_bytes = graph.edge_count * 24
+        return {
+            "node_count": graph.node_count,
+            "relationship_count": graph.edge_count,
+            "state_bytes_per_superstep": state_bytes,
+            "max_shuffle_bytes_per_superstep": state_bytes + msg_bytes,
+            "superstep_bound": max_iterations,
+            "note": "messages partial-aggregate map-side; actual shuffle is "
+            "min(edge fan-in, tasks × distinct dst) rows",
+        }
+
+
+class _PageRankProc(_Proc):
+    value_cols = ["score"]
+
+    def _run(self, graph, **config):
+        res = page_rank(graph, **config)
+        stats = {
+            "ran_iterations": res.iterations,
+            "did_converge": res.did_converge,
+            "metrics": res.metrics,
+        }
+        return res.scores, stats
+
+
+class _WccProc(_Proc):
+    value_cols = ["component"]
+
+    def _run(self, graph, **config):
+        res = wcc(graph, with_stats=True, **config)
+        return res.components, {
+            "component_count": res.component_count,
+            "ran_iterations": res.iterations,
+        }
+
+
+class _SccProc(_Proc):
+    value_cols = ["component"]
+
+    def _run(self, graph, **config):
+        res = scc(graph, **config)
+        n = res.components.select("component").distinct().count()
+        return res.components, {"component_count": n, "outer_rounds": res.outer_rounds}
+
+
+class _LpaProc(_Proc):
+    value_cols = ["label"]
+
+    def _run(self, graph, **config):
+        res = label_propagation(graph, **config)
+        return res.labels, {
+            "ran_iterations": res.iterations,
+            "did_converge": res.did_converge,
+        }
+
+
+class _TriangleProc(_Proc):
+    value_cols = ["triangles"]
+
+    def _run(self, graph, **config):
+        res = triangle_count(graph, **config)
+        return res.per_node, {"global_triangle_count": res.global_count}
+
+
+class _LccProc(_Proc):
+    value_cols = ["lcc"]
+
+    def _run(self, graph, **config):
+        out = local_clustering_coefficient(graph, **config)
+        avg = out.agg(F.avg("lcc")).collect()[0][0]
+        return out, {"average_clustering_coefficient": float(avg or 0.0)}
+
+
+class _DegreeProc(_Proc):
+    value_cols = ["degree"]
+
+    def _run(self, graph, **config):
+        out = degree_centrality(graph, **config)
+        return out, {"node_count": graph.node_count}
+
+
+class _GraphOps:
+    """``gds.graph.*`` catalog operations."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def project(self, name: str, edges: DataFrame, **kwargs) -> ProjectedGraph:
+        if self.gds.catalog is not None:
+            return self.gds.catalog.project(name, edges, **kwargs)
+        return project(edges, name=name, **kwargs)
+
+    def project_sql(self, name: str, edge_query: str, **kwargs) -> ProjectedGraph:
+        df = self.gds.spark.sql(edge_query)
+        return self.project(name, df, **kwargs)
+
+    def list(self) -> list[dict]:
+        return self.gds.catalog.list() if self.gds.catalog else []
+
+    def exists(self, name: str) -> bool:
+        return bool(self.gds.catalog and self.gds.catalog.exists(name))
+
+    def drop(self, name: str) -> bool:
+        return bool(self.gds.catalog and self.gds.catalog.drop(name))
+
+    def load(self, name: str) -> ProjectedGraph:
+        return self.gds.catalog.load(name)
+
+    def filter(self, name: str, source: str, **kwargs) -> ProjectedGraph:
+        return self.gds.catalog.filter(name, source, **kwargs)
+
+
+class SparkGDS:
+    def __init__(self, spark: SparkSession, catalog_dir: str | None = None) -> None:
+        self.spark = spark
+        self.catalog = GraphCatalog(spark, catalog_dir) if catalog_dir else None
+        self.graph = _GraphOps(self)
+        self.page_rank = _PageRankProc(self)
+        self.wcc = _WccProc(self)
+        self.scc = _SccProc(self)
+        self.label_propagation = _LpaProc(self)
+        self.triangle_count = _TriangleProc(self)
+        self.local_clustering_coefficient = _LccProc(self)
+        self.degree = _DegreeProc(self)

@@ -1,0 +1,188 @@
+"""Independent pure-Python/numpy oracles (SURVEY.md §5.2-1).
+
+Expected values for the golden tests are computed here — never by the
+engine under test. Each oracle is a direct transcription of the algorithm
+definition: power iteration with the GDS formula, BFS components,
+iterative Tarjan, brute-force triangle enumeration, synchronous LPA with
+the documented tie-break.
+
+Graphs are dicts: nodes = sorted list of hashable ids; edges = list of
+(src, dst, weight) with parallel edges already aggregated.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+
+def pagerank_oracle(
+    nodes: list,
+    edges: list[tuple],
+    damping: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+) -> tuple[dict, int, bool]:
+    """GDS rule: r_v ← (1−d) + d·Σ_{u→v} r_u·w/W_u; init 1.0; dangling mass
+    lost; converge when max per-vertex |Δ| < tolerance."""
+    idx = {n: i for i, n in enumerate(sorted(nodes))}
+    n = len(idx)
+    out_w = np.zeros(n)
+    for s, d, w in edges:
+        out_w[idx[s]] += w if weighted else 1.0
+    r = np.ones(n)
+    iters, converged = max_iterations, False
+    for it in range(max_iterations):
+        contrib = np.divide(r, out_w, out=np.zeros(n), where=out_w > 0)
+        msg = np.zeros(n)
+        for s, d, w in edges:
+            msg[idx[d]] += contrib[idx[s]] * (w if weighted else 1.0)
+        new_r = (1 - damping) + damping * msg
+        delta = np.abs(new_r - r).max()
+        r = new_r
+        if delta < tolerance:
+            iters, converged = it + 1, True
+            break
+    inv = {i: n_ for n_, i in idx.items()}
+    return {inv[i]: float(r[i]) for i in range(n)}, iters, converged
+
+
+def wcc_oracle(nodes: list, edges: list[tuple]) -> dict:
+    """BFS over the undirected graph; component id = min member id."""
+    adj = defaultdict(set)
+    for s, d, *_ in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    comp = {}
+    for start in sorted(nodes):
+        if start in comp:
+            continue
+        stack, members = [start], []
+        seen = {start}
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for u in adj[v]:
+                if u not in seen:
+                    seen.add(u)
+                    stack.append(u)
+        label = min(members)
+        for v in members:
+            comp[v] = label
+    return comp
+
+
+def scc_oracle(nodes: list, edges: list[tuple]) -> dict:
+    """Iterative Tarjan; component id = min member id."""
+    adj = defaultdict(list)
+    for s, d, *_ in edges:
+        if s != d:
+            adj[s].append(d)
+    index_of, low, on_stack, stack = {}, {}, set(), []
+    comp, counter = {}, [0]
+    for root in sorted(nodes):
+        if root in index_of:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index_of[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                u = adj[v][i]
+                if u not in index_of:
+                    work[-1] = (v, i + 1)
+                    work.append((u, 0))
+                    recurse = True
+                    break
+                if u in on_stack:
+                    low[v] = min(low[v], index_of[u])
+            if recurse:
+                continue
+            if low[v] == index_of[v]:
+                members = []
+                while True:
+                    u = stack.pop()
+                    on_stack.discard(u)
+                    members.append(u)
+                    if u == v:
+                        break
+                label = min(members)
+                for u in members:
+                    comp[u] = label
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return comp
+
+
+def triangles_oracle(nodes: list, edges: list[tuple]) -> tuple[dict, int]:
+    """Brute force O(n·d²) over the undirected simple graph; self-loops
+    ignored. Returns (per-node counts, global count)."""
+    adj = defaultdict(set)
+    for s, d, *_ in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    per = {v: 0 for v in nodes}
+    total = 0
+    order = sorted(nodes)
+    pos = {v: i for i, v in enumerate(order)}
+    for a in order:
+        for b in adj[a]:
+            if pos[b] <= pos[a]:
+                continue
+            for c in adj[a] & adj[b]:
+                if pos[c] > pos[b]:
+                    per[a] += 1
+                    per[b] += 1
+                    per[c] += 1
+                    total += 1
+    return per, total
+
+
+def lpa_oracle(
+    nodes: list,
+    edges: list[tuple],
+    max_iterations: int = 10,
+    weighted: bool = False,
+) -> tuple[dict, int, bool]:
+    """Synchronous LPA over the directed edge list as given (symmetrize
+    first for undirected semantics): each node adopts the label with max
+    total incoming vote; ties → min label; init label = node id's rank.
+
+    Labels here are the node ids themselves (matching the engine, which
+    uses vids = dense rank of id — order-isomorphic, so argmax/min-tie
+    decisions agree).
+    """
+    order = sorted(nodes)
+    label = {v: v for v in order}
+    in_edges = defaultdict(list)
+    for s, d, w in edges:
+        in_edges[d].append((s, w if weighted else 1.0))
+    converged = False
+    it = max_iterations
+    for i in range(max_iterations):
+        votes = {}
+        for v in order:
+            if not in_edges[v]:
+                continue
+            tally = defaultdict(float)
+            for s, w in in_edges[v]:
+                tally[label[s]] += w
+            # max vote, ties → min label (any orderable label type)
+            best = min(tally.items(), key=lambda kv: (-kv[1], kv[0]))
+            votes[v] = best[0]
+        new_label = {v: votes.get(v, label[v]) for v in order}
+        if new_label == label:
+            it, converged = i + 1, True
+            break
+        label = new_label
+    return label, it, converged
