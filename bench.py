@@ -1,0 +1,107 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line. Beyond the per-query seconds, it measures the north-rule metric:
+PageRank supersteps/sec and edges-processed/sec on a transcript-derived
+edge table (synthetic, deterministic, generated on the executors — scale
+via $SPARK_GRAFT_BENCH_CONVS).
+
+Scaling evidence (two-cluster-size criterion) is produced by
+``tools/bench_scaling.py`` which runs this same workload at local[8] and
+local[32] in fresh JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench(
+    sf_dir: str,
+    cpus: int,
+    bench_convs: int,
+    pr_supersteps: int = 10,
+    include_suite: bool = True,
+) -> dict:
+    from graph_data_science_spark.algorithms.pagerank import page_rank
+    from graph_data_science_spark.projection import project
+    from graph_data_science_spark.session import get_spark
+    from graph_data_science_spark.sources.edges import derive_edges
+    from graph_data_science_spark.sources.transcripts import generate_transcripts
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name=f"gds-bench-c{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    timings: dict[str, float] = {}
+    if include_suite:
+        suite = [
+            "edge_derivation",
+            "degrees",
+            "triangle_count",
+            "wcc",
+            "scc",
+            "pagerank",
+            "label_propagation",
+        ]
+        qs = entrymod.queries()
+        for name in suite:
+            if name not in qs:
+                continue
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+
+    # North-rule throughput: transcripts -> edges -> project -> PageRank.
+    t0 = time.time()
+    transcripts = generate_transcripts(
+        spark, n_convs=bench_convs, n_tools=max(20, bench_convs // 2000), seed=42
+    )
+    edges = derive_edges(transcripts)
+    g = project(edges, name="bench_pr")
+    t_project = time.time() - t0
+
+    t0 = time.time()
+    page_rank(g, tolerance=0.0, max_iterations=pr_supersteps)
+    t_pr = time.time() - t0
+    edges_processed = g.edge_count * pr_supersteps
+
+    result = {
+        "metric": "pagerank_edges_per_sec",
+        "value": round(edges_processed / t_pr, 1),
+        "unit": "edges/sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_convs": bench_convs,
+        "graph": {"nodes": g.node_count, "edges": g.edge_count},
+        "pagerank_supersteps": pr_supersteps,
+        "supersteps_per_sec": round(pr_supersteps / t_pr, 3),
+        "project_sec": round(t_project, 3),
+        "pagerank_sec": round(t_pr, 3),
+        "suite_total_sec": round(sum(timings.values()), 3),
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
+    include_suite = os.environ.get("SPARK_GRAFT_BENCH_SUITE", "1") != "0"
+    result = run_bench(sf_dir, cpus, bench_convs, include_suite=include_suite)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
