@@ -201,6 +201,118 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(canon, "label").select("node_id", "community_id")
 
 
+JACCARD_T = 0.9
+COSINE_T = 0.4
+ANN_QUERIES = 10
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint of whitespace-normalized lowercased text."""
+    from graph_data_science_spark.operators.text import content_fingerprint
+
+    return content_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups: each doc mapped to the min doc_id sharing its
+    content fingerprint (hash group-by dedup)."""
+    from graph_data_science_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select("doc_id", "canonical_id")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token / punctuation / stopword counts per document (single regexp
+    pass, whole-stage codegen)."""
+    from graph_data_science_spark.operators.text import with_text_stats
+
+    return with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_chars_m").alias("n_chars_measured"),
+        "n_tokens",
+        "punct_count",
+        "stopword_count",
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style cheap quality score in [0,1], rounded 6dp."""
+    from graph_data_science_spark.operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language id with deterministic tie-break."""
+    from graph_data_science_spark.operators.text import language_id
+
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang", "lang_hits")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs token-set Jaccard ≥ 0.9 via inverted-index self-join."""
+    from graph_data_science_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified at ≥ 0.9.
+
+    The oracle is the *exact* all-pairs result: at k=64/b=16/r=4 the LSH
+    miss probability per true pair at j ≥ 0.9 is < 4e-8, so candidate
+    recall is complete at this scale and the verified output equals the
+    exact set."""
+    from graph_data_science_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3, chunk-blocked). Rows-only:
+    the 64-bit sketch depends on xxhash64, which DuckDB lacks."""
+    from graph_data_science_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    from graph_data_science_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < ANN_QUERIES), k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus pairs with cosine ≥ 0.4 (exact; the LSH-blocked variant
+    is covered rows-only by ``ann_lsh_topk``)."""
+    from graph_data_science_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    return embedding_neardup_pairs(emb, threshold=COSINE_T, dim=64, exact=True)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (rows-only;
+    approximate by construction — recall vs brute force is pinned in
+    tests/test_operators.py)."""
+    from graph_data_science_spark.operators.similarity import cosine_lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return cosine_lsh_topk(emb, emb.filter(F.col("vec_id") < ANN_QUERIES), k=5, dim=64)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media table → mapInPandas feature
+    extraction (stubbed decode). Rows-only (binary pipeline, no SQL twin)."""
+    from graph_data_science_spark.operators.multimodal import extract_features, generate_media
+
+    return extract_features(generate_media(spark, 500)).select(
+        "media_id", "modality", "n_bytes", F.size("feature").alias("feature_dim")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -217,6 +329,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -251,6 +375,32 @@ def _pagerank_oracle() -> str:
         )
     parts.append(f"\nSELECT node_id, round(rank, 6) AS score FROM pr{iters}")
     return "".join(parts)
+
+
+def _sql_list(lang: str) -> str:
+    from graph_data_science_spark.operators.text import LANG_STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
+# Exact all-pairs token-set Jaccard ≥ τ — the twin for both the
+# inverted-index join and the (recall-complete at this scale) MinHash+LSH.
+_JACCARD_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id AS id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+    FROM documents
+), sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+    FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+    GROUP BY a.id, b.id
+), j AS (
+    SELECT id_a, id_b, i / (sa.sz + sb.sz - i)::DOUBLE AS jac
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= {JACCARD_T}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -336,5 +486,83 @@ FROM fwd f JOIN bwd b ON b.node_id = f.node_id AND b.member = f.member
 GROUP BY f.node_id
 """,
         "pagerank": _pagerank_oracle(),
+        "doc_fingerprint": r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+        "dedup_exact": r"""
+WITH fp AS (
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+    FROM documents
+), canon AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+SELECT fp.doc_id, canon.canonical_id FROM fp JOIN canon USING (f)
+""",
+        "text_stats": rf"""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+           t -> list_contains({_sql_list('en')}, t))) AS stopword_count
+FROM documents
+""",
+        "quality_score": rf"""
+WITH s AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS n_tok,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               t -> list_contains({_sql_list('en')}, t))) AS stop
+    FROM documents
+)
+SELECT doc_id,
+       round((least(n_tok / 200.0, 1.0)
+            + (1.0 - least(punct / greatest(n_chars, 1)::DOUBLE, 1.0))
+            + least(stop / greatest(n_tok, 1.0) / 0.1, 1.0)) / 3.0, 6) AS quality
+FROM s
+""",
+        "language_id": rf"""
+WITH h AS (
+    SELECT doc_id,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               t -> list_contains({_sql_list('de')}, t))) AS hits_de,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               t -> list_contains({_sql_list('en')}, t))) AS hits_en,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               t -> list_contains({_sql_list('es')}, t))) AS hits_es,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               t -> list_contains({_sql_list('fr')}, t))) AS hits_fr
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       greatest(hits_de, hits_en, hits_es, hits_fr) AS lang_hits
+FROM h
+""",
+        "ngram_jaccard": _JACCARD_ORACLE,
+        "minhash_lsh": _JACCARD_ORACLE,
+        "embedding_topk": f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+    FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+""",
+        "embedding_neardup": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COSINE_T}
+""",
         # label_propagation: rows-only (iterative weighted argmax; no SQL twin)
     }

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query
+  set against the full corpus; dot products are JVM higher-order
+  expressions (``zip_with`` + ``aggregate``) over double-cast arrays, so
+  the scan stays in whole-stage codegen and the only shuffle is the
+  per-query top-k window.
+- ``cosine_lsh_topk`` — the scale path: random-hyperplane (sign) LSH
+  buckets; each corpus vector lands in one bucket per table, queries
+  probe their buckets only. Recall is tunable by (n_bits, n_tables);
+  verified against brute force in tests.
+- ``embedding_neardup_pairs`` — all corpus pairs with cosine ≥ τ,
+  LSH-blocked the same way.
+
+100 TB framing: brute force is O(Q·N·d) — fine when Q is a broadcastable
+probe set, impossible for all-pairs. The LSH variant shuffles each vector
+``n_tables`` times on a 32-bit bucket key and compares only within
+buckets, i.e. cost follows bucket occupancy (expected N²/2^bits per
+table), not N².
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_unit_vectors(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec"
+) -> DataFrame:
+    """Normalize to unit L2 norm (zero vectors stay zero). Precomputing
+    units turns every cosine into a plain dot product downstream."""
+    v = _as_double(F.col(vec_col))
+    n = _norm(v)
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return df.withColumn(out_col, unit)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k → (query_id, neighbor_id, cosine), ties broken
+    by ascending neighbor id; cosine rounded to 6dp (hash-stable).
+    Self-matches (same id) are excluded."""
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _bucket_expr(unit_vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of one LSH table: bit i = sign(<v, plane_i>)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(_dot(unit_vec, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, unit_vec, table, bucket) — one row per (vector, table)."""
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    u = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("unit_vec")
+    )
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), _bucket_expr(F.col("unit_vec"), planes[t]).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return u.select("id", "unit_vec", F.explode(tables).alias("tb")).select(
+        "id", "unit_vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def cosine_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: compare queries only to corpus vectors
+    sharing an LSH bucket in ≥1 table. Same output contract as brute
+    force; recall measured in tests (≥0.9@10 on the test corpus)."""
+    cb = lsh_buckets(corpus, dim, n_bits, n_tables, seed, id_col, vec_col)
+    qb = lsh_buckets(queries, dim, n_bits, n_tables, seed, id_col, vec_col)
+    cand = (
+        cb.select(F.col("id").alias("neighbor_id"), F.col("unit_vec").alias("cv"), "table", "bucket")
+        .join(
+            qb.select(F.col("id").alias("query_id"), F.col("unit_vec").alias("qv"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Corpus pairs with cosine ≥ threshold → (id_a, id_b, cosine),
+    id_a < id_b. ``exact=True`` brute-forces all pairs (test scale /
+    oracle twin); default blocks through LSH tables first."""
+    if exact:
+        u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
+        a = u.select(F.col("id").alias("id_a"), F.col("unit_vec").alias("va"))
+        b = u.select(F.col("id").alias("id_b"), F.col("unit_vec").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        bk = lsh_buckets(df, dim, n_bits, n_tables, seed, id_col, vec_col)
+        a = bk.select(F.col("id").alias("id_a"), F.col("unit_vec").alias("va"), "table", "bucket")
+        b = bk.select(F.col("id").alias("id_b"), F.col("unit_vec").alias("vb"), "table", "bucket")
+        pairs = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
