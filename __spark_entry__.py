@@ -46,16 +46,18 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The same derivation as ANSI SQL — the base CTE every graph oracle builds on.
+# The same derivation as ANSI SQL — the base CTE every graph oracle builds
+# on. MATERIALIZED: the unrolled iterative oracles reference `edges` dozens
+# of times; without it DuckDB inlines the parquet scan per reference.
 _EDGES_CTE = """
-WITH RECURSIVE first_use AS (
+WITH RECURSIVE first_use AS MATERIALIZED (
     SELECT event_type, user_id, min(ts) AS first_ts
     FROM events GROUP BY event_type, user_id
 ), linked AS (
     SELECT user_id AS src,
            lead(user_id) OVER (PARTITION BY event_type ORDER BY first_ts, user_id) AS dst
     FROM first_use
-), edges AS (
+), edges AS MATERIALIZED (
     SELECT src, dst, count(*) AS weight
     FROM linked WHERE dst IS NOT NULL AND dst <> src
     GROUP BY src, dst
@@ -313,6 +315,123 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ≥ 2× the measured source eccentricity (5) of the sf0.01 derived graph.
+# Comparison safety does not depend on the bound: frontier supersteps and
+# full relaxation rounds agree round-for-round, so engine and oracle match
+# at ANY fixed round count; the margin just guarantees true fixpoint.
+BF_ROUNDS = 12
+
+
+def _bfs_source_sql(sf_dir: str) -> str:
+    return "(SELECT min(user_id) FROM events)"
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from the min node id over the directed derived graph."""
+    from graph_data_science_spark.algorithms.paths import bfs
+    from graph_data_science_spark.projection import project
+
+    e = _edges(spark, sf_dir)
+    src = e.select(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0]["s"]
+    g = project(e, name="entry_bfs")
+    res = bfs(g, [src], max_iterations=BF_ROUNDS)
+    return (
+        res.distances.join(g.nodes, "vid")
+        .select(F.col("orig_id").alias("node_id"), F.col("distance").cast("long").alias("hops"))
+    )
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances from the min node id."""
+    from graph_data_science_spark.algorithms.paths import sssp
+    from graph_data_science_spark.projection import project
+
+    e = _edges(spark, sf_dir)
+    src = e.select(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0]["s"]
+    g = project(e, name="entry_sssp")
+    res = sssp(g, [src], max_iterations=BF_ROUNDS)
+    return (
+        res.distances.join(g.nodes, "vid")
+        .select(F.col("orig_id").alias("node_id"), F.round("distance", 6).alias("distance"))
+    )
+
+
+def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard node similarity over out-neighbor sets (all passing pairs)."""
+    from graph_data_science_spark.algorithms.node_similarity import node_similarity
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_nsim")
+    pairs = node_similarity(g, top_k=None)
+    m1 = g.nodes.select(F.col("vid").alias("node1"), F.col("orig_id").alias("_n1"))
+    m2 = g.nodes.select(F.col("vid").alias("node2"), F.col("orig_id").alias("_n2"))
+    return (
+        pairs.join(m1, "node1")
+        .join(m2, "node2")
+        .select(
+            F.col("_n1").alias("node1"),
+            F.col("_n2").alias("node2"),
+            F.round("similarity", 6).alias("similarity"),
+        )
+    )
+
+
+def q_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArticleRank, fixed 20 iterations, rounded 6dp."""
+    from graph_data_science_spark.algorithms.centrality import article_rank
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_ar")
+    res = article_rank(g, tolerance=0.0, max_iterations=PR_ITERS)
+    return (
+        res.scores.join(g.nodes, "vid")
+        .select(F.col("orig_id").alias("node_id"), F.round("score", 6).alias("score"))
+    )
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, fixed 15 power iterations, rounded 6dp."""
+    from graph_data_science_spark.algorithms.centrality import eigenvector
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_ev")
+    res = eigenvector(g, tolerance=0.0, max_iterations=15)
+    return (
+        res.scores.join(g.nodes, "vid")
+        .select(F.col("orig_id").alias("node_id"), F.round("score", 6).alias("score"))
+    )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition on the undirected derived graph (rows-only:
+    iterative peeling has no tractable SQL twin; pinned against a
+    sequential-peeling oracle in tests/test_algorithms_breadth.py)."""
+    from graph_data_science_spark.algorithms.kcore import k_core
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_kcore", orientation="UNDIRECTED")
+    res = k_core(g)
+    return res.cores.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), "core"
+    )
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority, 10 iterations (rows-only; per-iteration L2
+    normalization makes the SQL twin impractically deep — pinned against
+    a numpy oracle in tests)."""
+    from graph_data_science_spark.algorithms.centrality import hits
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_hits")
+    res = hits(g, tolerance=0.0, max_iterations=10)
+    return res.scores.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"),
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -341,6 +460,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
+        "bfs": q_bfs,
+        "sssp": q_sssp,
+        "node_similarity": q_node_similarity,
+        "article_rank": q_article_rank,
+        "eigenvector": q_eigenvector,
+        "kcore": q_kcore,
+        "hits": q_hits,
     }
 
 
@@ -353,16 +479,16 @@ def _pagerank_oracle() -> str:
     parts = [
         _EDGES_CTE
         + """
-, nodes AS (
+, nodes AS MATERIALIZED (
     SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM edges UNION ALL SELECT dst AS node_id FROM edges)
-), outd AS (
+), outd AS MATERIALIZED (
     SELECT src AS node_id, count(*) AS w FROM edges GROUP BY src
 ), pr0 AS (SELECT node_id, 1.0 AS rank FROM nodes)
 """
     ]
     for i in range(iters):
         parts.append(
-            f""", pr{i + 1} AS (
+            f""", pr{i + 1} AS MATERIALIZED (
     SELECT n.node_id, {1.0 - d} + {d} * coalesce(c.s, 0.0) AS rank
     FROM nodes n LEFT JOIN (
         SELECT e.dst AS node_id, sum(p.rank / o.w) AS s
@@ -403,6 +529,118 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= {JACCARD_T}
 """
 
 
+_NODES_CTE = """
+, nodes AS MATERIALIZED (
+    SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM edges UNION ALL SELECT dst AS node_id FROM edges)
+)"""
+
+_INF = "1e18"
+
+
+def _relax_oracle(weighted: bool) -> str:
+    """Unrolled Bellman-Ford (BF_ROUNDS rounds). Frontier supersteps and
+    full relaxation rounds produce identical per-round states, and both
+    sides reach the fixpoint within the bound, so equality is exact."""
+    step = "d.dist + e.weight" if weighted else "d.dist + 1"
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + f"""
+, src AS (SELECT min(node_id) AS s FROM nodes)
+, d0 AS (
+    SELECT node_id,
+           CASE WHEN node_id = (SELECT s FROM src) THEN 0.0 ELSE {_INF} END AS dist
+    FROM nodes
+)"""
+    ]
+    for i in range(BF_ROUNDS):
+        parts.append(
+            f""", d{i + 1} AS MATERIALIZED (
+    SELECT n.node_id, least(n.dist, coalesce(m.best, {_INF})) AS dist
+    FROM d{i} n LEFT JOIN (
+        SELECT e.dst AS node_id, min({step}) AS best
+        FROM edges e JOIN d{i} d ON d.node_id = e.src AND d.dist < {_INF}
+        GROUP BY e.dst
+    ) m ON m.node_id = n.node_id
+)"""
+        )
+    final = (
+        f"\nSELECT node_id, dist::BIGINT AS hops FROM d{BF_ROUNDS} WHERE dist < {_INF}"
+        if not weighted
+        else f"\nSELECT node_id, round(dist, 6) AS distance FROM d{BF_ROUNDS} WHERE dist < {_INF}"
+    )
+    parts.append(final)
+    return "".join(parts)
+
+
+def _article_rank_oracle() -> str:
+    d, iters = PR_DAMPING, PR_ITERS
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + """
+, outd AS MATERIALIZED (SELECT src AS node_id, count(*) AS w FROM edges GROUP BY src)
+, avgd AS (SELECT avg(w) AS a FROM outd)
+, ar0 AS (SELECT node_id, 1.0 AS rank FROM nodes)
+"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", ar{i + 1} AS MATERIALIZED (
+    SELECT n.node_id, {1.0 - d} + {d} * coalesce(c.s, 0.0) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node_id, sum(p.rank / (o.w + (SELECT a FROM avgd))) AS s
+        FROM edges e
+        JOIN ar{i} p ON p.node_id = e.src
+        JOIN outd o ON o.node_id = e.src
+        GROUP BY e.dst
+    ) c ON c.node_id = n.node_id
+)"""
+        )
+    parts.append(f"\nSELECT node_id, round(rank, 6) AS score FROM ar{iters}")
+    return "".join(parts)
+
+
+def _eigenvector_oracle(iters: int = 15) -> str:
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + """
+, r0 AS (SELECT node_id, 1.0 / sqrt((SELECT count(*) FROM nodes)) AS rank FROM nodes)
+"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", raw{i + 1} AS MATERIALIZED (
+    SELECT n.node_id, coalesce(c.s, 0.0) AS raw
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node_id, sum(p.rank) AS s
+        FROM edges e JOIN r{i} p ON p.node_id = e.src
+        GROUP BY e.dst
+    ) c ON c.node_id = n.node_id
+), r{i + 1} AS MATERIALIZED (
+    SELECT node_id, raw / (SELECT sqrt(sum(raw * raw)) FROM raw{i + 1}) AS rank
+    FROM raw{i + 1}
+)"""
+        )
+    parts.append(f"\nSELECT node_id, round(rank, 6) AS score FROM r{iters}")
+    return "".join(parts)
+
+
+_NODE_SIM_ORACLE = _EDGES_CTE + """
+, adj AS (SELECT DISTINCT src, dst FROM edges),
+deg AS (SELECT src, count(*) AS sz FROM adj GROUP BY src),
+it AS (
+    SELECT a.src AS n1, b.src AS n2, count(*) AS i
+    FROM adj a JOIN adj b ON a.dst = b.dst AND a.src <> b.src
+    GROUP BY a.src, b.src
+)
+SELECT n1 AS node1, n2 AS node2,
+       round(i / (d1.sz + d2.sz - i)::DOUBLE, 6) AS similarity
+FROM it JOIN deg d1 ON d1.src = n1 JOIN deg d2 ON d2.src = n2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edge_derivation": _EDGES_CTE + "SELECT src, dst, weight FROM edges",
@@ -417,7 +655,7 @@ FROM t WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type
 """,
         "degrees": _EDGES_CTE + """
-, nodes AS (
+, nodes AS MATERIALIZED (
     SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM edges UNION ALL SELECT dst AS node_id FROM edges)
 ), outd AS (
     SELECT src AS node_id, count(*) AS out_degree, sum(weight) AS weighted_out_degree
@@ -432,7 +670,7 @@ SELECT n.node_id,
 FROM nodes n LEFT JOIN outd o USING (node_id) LEFT JOIN ind i USING (node_id)
 """,
         "top_k_degree": _EDGES_CTE + """
-, nodes AS (
+, nodes AS MATERIALIZED (
     SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM edges UNION ALL SELECT dst AS node_id FROM edges)
 ), outd AS (SELECT src AS node_id, count(*) AS d FROM edges GROUP BY src),
 ind AS (SELECT dst AS node_id, count(*) AS d FROM edges GROUP BY dst)
@@ -470,7 +708,7 @@ reach AS (
 SELECT node_id, min(member) AS component_id FROM reach GROUP BY node_id
 """,
         "scc": _EDGES_CTE + """
-, nodes AS (
+, nodes AS MATERIALIZED (
     SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM edges UNION ALL SELECT dst AS node_id FROM edges)
 ), fwd AS (
     SELECT node_id, node_id AS member FROM nodes
@@ -558,6 +796,11 @@ scored AS (
 )
 SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
 """,
+        "bfs": _relax_oracle(weighted=False),
+        "sssp": _relax_oracle(weighted=True),
+        "node_similarity": _NODE_SIM_ORACLE,
+        "article_rank": _article_rank_oracle(),
+        "eigenvector": _eigenvector_oracle(),
         "embedding_neardup": f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -43,8 +43,16 @@ def label_propagation(
     seed: DataFrame | None = None,  # (vid, seed_label)
     node_weights: DataFrame | None = None,  # (vid, node_weight)
     edge_plan: EdgePlan | None = None,
+    executor: str = "relational",
 ) -> LabelPropagationResult:
-    plan = edge_plan or EdgePlan(graph.edges)
+    csr = None
+    if executor == "csr":
+        from graph_data_science_spark.plans.csr import CsrPlan
+
+        csr = CsrPlan(graph.edges, graph.node_count)
+        plan = None
+    else:
+        plan = edge_plan or EdgePlan(graph.edges)
 
     init = graph.nodes.select("vid", F.col("vid").alias("label"))
     if seed is not None:
@@ -65,12 +73,20 @@ def label_propagation(
     rel_w = F.col("weight") if weighted else F.lit(1.0)
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        votes = plan.messages(
-            state.select("vid", "label", "node_w"),
-            {"label": F.col("label"), "vote": F.col("node_w") * rel_w},
-            {"vote": F.sum("vote")},
-            group_keys=("label",),
-        )
+        if csr is not None:
+            votes = csr.label_votes(
+                state.select("vid", "label", "node_w"),
+                "label",
+                node_w_col="node_w",
+                weighted=weighted,
+            ).withColumnRenamed("w", "vote")
+        else:
+            votes = plan.messages(
+                state.select("vid", "label", "node_w"),
+                {"label": F.col("label"), "vote": F.col("node_w") * rel_w},
+                {"vote": F.sum("vote")},
+                group_keys=("label",),
+            )
         # argmax with deterministic tie-break: max vote, then min label.
         winner = votes.groupBy("vid").agg(
             F.max(F.struct(F.col("vote"), (-F.col("label")).alias("neg"))).alias("w")
@@ -97,7 +113,9 @@ def label_propagation(
         metrics_fn=metrics,
         stop_fn=lambda m, i: m["changed"] == 0,
     )
-    if edge_plan is None:
+    if csr is not None:
+        csr.unpersist()
+    elif edge_plan is None:
         plan.unpersist()
     return LabelPropagationResult(
         labels=res.state.select("vid", "label"),

@@ -90,8 +90,23 @@ def page_rank(
     edge_plan: EdgePlan | None = None,
     checkpoint: CheckpointStore | None = None,
     checkpoint_every: int = 5,
+    executor: str = "relational",
+    fused_supersteps: int = 1,
 ) -> PageRankResult:
-    plan = edge_plan or EdgePlan(graph.edges)
+    """``executor``: 'relational' (state⋈edges join, the correctness
+    anchor) or 'csr' (per-block CSR Arrow buffers + vectorized pandas-UDF
+    gather-scatter — the north_rule physical path). Both agree bit-for-bit
+    (cross-checked in tests)."""
+    csr = None
+    if executor == "csr":
+        from graph_data_science_spark.plans.csr import CsrPlan
+
+        csr = CsrPlan(graph.edges, graph.node_count)
+        plan = None
+    elif executor == "relational":
+        plan = edge_plan or EdgePlan(graph.edges)
+    else:
+        raise ValueError("executor must be 'relational' or 'csr'")
     out_w = graph.degrees("out", weighted=weighted)  # (vid, degree); 0 for dangling
 
     init = out_w.select(
@@ -107,7 +122,10 @@ def page_rank(
         contribs = state.filter(F.col("out_w") > 0).select(
             "vid", (F.col("rank") / F.col("out_w")).alias("contrib")
         )
-        msgs = plan.messages(contribs, {"msg": msg_expr}, {"msg": F.sum("msg")})
+        if csr is not None:
+            msgs = csr.messages(contribs, "contrib", op="sum", weighted=weighted)
+        else:
+            msgs = plan.messages(contribs, {"msg": msg_expr}, {"msg": F.sum("msg")})
         new_rank = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
         return (
             state.join(msgs, "vid", "left")
@@ -137,9 +155,12 @@ def page_rank(
         stop_fn=lambda m, i: m["max_delta"] < tolerance,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
+        fused_supersteps=fused_supersteps,
     )
     scores = _scale(res.state.select("vid", F.col("rank").alias("score")), scaler)
-    if edge_plan is None:
+    if csr is not None:
+        csr.unpersist()
+    elif edge_plan is None:
         plan.unpersist()
     return PageRankResult(
         scores=scores,

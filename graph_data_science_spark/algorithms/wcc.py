@@ -124,19 +124,34 @@ def _wcc_two_phase(graph: ProjectedGraph, threshold: float | None, max_rounds: i
     return WccResult(components=components, iterations=rounds, metrics=history)
 
 
-def _wcc_propagation(graph: ProjectedGraph, threshold: float | None, max_rounds: int) -> WccResult:
+def _wcc_propagation(
+    graph: ProjectedGraph,
+    threshold: float | None,
+    max_rounds: int,
+    executor: str = "relational",
+) -> WccResult:
     pairs = _edge_pairs(graph, threshold)
     sym = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).withColumn("weight", F.lit(1.0))
-    plan = EdgePlan(sym)
+    if executor == "csr":
+        from graph_data_science_spark.plans.csr import CsrPlan
+
+        plan = CsrPlan(sym, graph.node_count)
+    else:
+        plan = EdgePlan(sym)
     init = graph.nodes.select(
         "vid", F.col("vid").alias("label"), F.lit(1).alias("changed")
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         frontier = state.filter(F.col("changed") == 1).select("vid", "label")
-        msgs = plan.messages(frontier, {"m": F.col("label")}, {"m": F.min("m")})
+        if executor == "csr":
+            msgs = plan.messages(frontier, "label", op="min").withColumnRenamed(
+                "msg", "m"
+            ).select("vid", F.col("m").cast("long").alias("m"))
+        else:
+            msgs = plan.messages(frontier, {"m": F.col("label")}, {"m": F.min("m")})
         new_label = F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label")))
         return state.join(msgs, "vid", "left").select(
             "vid",
@@ -171,8 +186,12 @@ def wcc(
         res = _wcc_two_phase(graph, threshold, max_rounds)
     elif algorithm == "propagation":
         res = _wcc_propagation(graph, threshold, max_rounds * 40)
+    elif algorithm == "propagation_csr":
+        res = _wcc_propagation(graph, threshold, max_rounds * 40, executor="csr")
     else:
-        raise ValueError("algorithm must be 'two_phase' or 'propagation'")
+        raise ValueError(
+            "algorithm must be 'two_phase', 'propagation', or 'propagation_csr'"
+        )
     if consecutive_ids:
         remap = assign_dense_ids(
             res.components.select(F.col("component").alias("orig_id")), "orig_id"

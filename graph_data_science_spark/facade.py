@@ -161,6 +161,106 @@ class _DegreeProc(_Proc):
         return out, {"node_count": graph.node_count}
 
 
+class _PathProc(_Proc):
+    """bfs / sssp: config carries ``sources`` (original node ids)."""
+
+    value_cols = ["distance"]
+    _weighted = False
+
+    def _run(self, graph, sources=(), **config):
+        from graph_data_science_spark.algorithms.paths import bfs, sssp
+
+        fn = sssp if self._weighted else bfs
+        res = fn(graph, list(sources), **config)
+        return res.distances, {"ran_iterations": res.iterations}
+
+
+class _SsspProc(_PathProc):
+    _weighted = True
+
+
+class _KCoreProc(_Proc):
+    value_cols = ["core"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.kcore import k_core
+
+        res = k_core(graph, **config)
+        row = res.cores.agg(F.max("core")).collect()[0][0]
+        return res.cores, {"degeneracy": int(row or 0), "ran_iterations": res.iterations}
+
+
+class _ArticleRankProc(_Proc):
+    value_cols = ["score"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.centrality import article_rank
+
+        res = article_rank(graph, **config)
+        return res.scores, {
+            "ran_iterations": res.iterations,
+            "did_converge": res.did_converge,
+        }
+
+
+class _EigenvectorProc(_Proc):
+    value_cols = ["score"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.centrality import eigenvector
+
+        res = eigenvector(graph, **config)
+        return res.scores, {
+            "ran_iterations": res.iterations,
+            "did_converge": res.did_converge,
+        }
+
+
+class _HitsProc(_Proc):
+    value_cols = ["auth", "hub"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.centrality import hits
+
+        res = hits(graph, **config)
+        return res.scores, {
+            "ran_iterations": res.iterations,
+            "did_converge": res.did_converge,
+        }
+
+
+class _NodeSimilarityProc(_Proc):
+    """Streams (node1, node2, similarity) pairs — both ids mapped back."""
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.node_similarity import node_similarity
+
+        pairs = node_similarity(graph, **config)
+        m1 = graph.nodes.select(F.col("vid").alias("node1"), F.col("orig_id").alias("_n1"))
+        m2 = graph.nodes.select(F.col("vid").alias("node2"), F.col("orig_id").alias("_n2"))
+        return (
+            pairs.join(m1, "node1")
+            .join(m2, "node2")
+            .select(
+                F.col("_n1").alias("node1"),
+                F.col("_n2").alias("node2"),
+                "similarity",
+            )
+        )
+
+    def stats(self, graph: ProjectedGraph, **config) -> dict:
+        from graph_data_science_spark.algorithms.node_similarity import node_similarity
+
+        pairs = node_similarity(graph, **config)
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("similarity").alias("avg")
+        ).collect()[0]
+        return {
+            "similarity_pairs": int(row["n"]),
+            "average_similarity": float(row["avg"] or 0.0),
+        }
+
+
 class _GraphOps:
     """``gds.graph.*`` catalog operations."""
 
@@ -204,3 +304,10 @@ class SparkGDS:
         self.triangle_count = _TriangleProc(self)
         self.local_clustering_coefficient = _LccProc(self)
         self.degree = _DegreeProc(self)
+        self.bfs = _PathProc(self)
+        self.sssp = _SsspProc(self)
+        self.k_core = _KCoreProc(self)
+        self.article_rank = _ArticleRankProc(self)
+        self.eigenvector = _EigenvectorProc(self)
+        self.hits = _HitsProc(self)
+        self.node_similarity = _NodeSimilarityProc(self)

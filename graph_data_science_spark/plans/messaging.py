@@ -58,6 +58,25 @@ class EdgePlan:
         )
         self.hot_count = self.hot.count()
 
+        if self.hot_count == 0:
+            # Fast path — no hubs above threshold: single-key join on src.
+            # The edge cache is hash-partitioned on _src and the vertex
+            # state leaving superstep k is hash-partitioned on vid (it was
+            # just joined/aggregated on vid), so with the same partition
+            # count NEITHER side re-shuffles in the gather join; the only
+            # per-superstep exchange is the reduced message table.
+            self.edges = (
+                edges.select(
+                    F.col("src").alias("_src"),
+                    F.col("dst").alias("_dst"),
+                    F.col("weight").alias("_weight"),
+                )
+                .repartition(self.num_partitions, "_src")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self.edge_count = self.edges.count()
+            return
+
         salted = (
             edges.join(
                 F.broadcast(self.hot.withColumnRenamed("vid", "src").withColumn("_hot", F.lit(True))),
@@ -113,12 +132,17 @@ class EdgePlan:
         instead of being reduced (e.g. LPA groups votes by (vid, label)).
         Returns one row per group: (vid, <keys>, <reduced messages>).
         """
-        st = self._salted_state(state)
-        joined = self.edges.join(
-            st,
-            (self.edges["_src"] == st["vid"]) & (self.edges["_salt"] == st["_salt"]),
-            "inner",
-        ).withColumn("weight", F.col("_weight"))
+        if self.hot_count == 0:
+            joined = self.edges.join(
+                state, self.edges["_src"] == state["vid"], "inner"
+            ).withColumn("weight", F.col("_weight"))
+        else:
+            st = self._salted_state(state)
+            joined = self.edges.join(
+                st,
+                (self.edges["_src"] == st["vid"]) & (self.edges["_salt"] == st["_salt"]),
+                "inner",
+            ).withColumn("weight", F.col("_weight"))
         per_edge = joined.select(
             F.col("_dst").alias("vid"),
             *[e.alias(k) for k, e in msg_exprs.items()],

@@ -34,12 +34,29 @@ def derive_edges(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Derive the directed weighted conv→conv (or user→user) edge table."""
+    raw = derive_edges_per_group(df, entity_col, group_col, ts_col)
+    return raw.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+
+def derive_edges_per_group(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    group_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Steps 1-4 of the rule, keeping the grouping key: → (group, src,
+    dst, weight). Because the linking window partitions by the group
+    column, group g's edge rows depend ONLY on g's input rows — the
+    property the streaming incremental refresh relies on (a group absent
+    from a batch cannot change). Summing weight over groups reproduces
+    ``derive_edges`` exactly."""
     uses = df.filter(F.col(group_col).isNotNull())
     first = uses.groupBy(group_col, entity_col).agg(F.min(ts_col).alias("first_ts"))
     w = Window.partitionBy(group_col).orderBy("first_ts", entity_col)
     linked = first.select(
+        F.col(group_col).alias("group"),
         F.col(entity_col).alias("src"),
         F.lead(entity_col).over(w).alias("dst"),
     )
     raw = linked.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-    return raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    return raw.groupBy("group", "src", "dst").agg(F.count(F.lit(1)).alias("weight"))

@@ -186,3 +186,165 @@ def lpa_oracle(
             break
         label = new_label
     return label, it, converged
+
+
+def bfs_oracle(nodes: list, edges: list[tuple], sources: list) -> dict:
+    """Hop distance from the source set over directed edges; unreached
+    nodes omitted."""
+    adj = defaultdict(list)
+    for s, d, *_ in edges:
+        adj[s].append(d)
+    dist = {s: 0 for s in sources}
+    frontier = list(sources)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def sssp_oracle(nodes: list, edges: list[tuple], sources: list) -> dict:
+    """Dijkstra from the source set; unreached omitted."""
+    import heapq
+
+    adj = defaultdict(list)
+    for s, d, w in edges:
+        adj[s].append((d, float(w)))
+    dist = {}
+    heap = [(0.0, s) for s in sources]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if u in dist:
+            continue
+        dist[u] = du
+        for v, w in adj[u]:
+            if v not in dist:
+                heapq.heappush(heap, (du + w, v))
+    return dist
+
+
+def node_similarity_oracle(
+    nodes: list, edges: list[tuple], metric: str = "jaccard"
+) -> dict:
+    """All directed pairs with non-empty out-neighbor intersection →
+    similarity; brute force over sets."""
+    nbrs = defaultdict(set)
+    for s, d, *_ in edges:
+        nbrs[s].add(d)
+    out = {}
+    keys = sorted(nbrs)
+    for a in keys:
+        for b in keys:
+            if a == b:
+                continue
+            inter = len(nbrs[a] & nbrs[b])
+            if inter == 0:
+                continue
+            if metric == "jaccard":
+                sim = inter / len(nbrs[a] | nbrs[b])
+            elif metric == "overlap":
+                sim = inter / min(len(nbrs[a]), len(nbrs[b]))
+            else:
+                sim = inter / (len(nbrs[a]) * len(nbrs[b])) ** 0.5
+            out[(a, b)] = sim
+    return out
+
+
+def kcore_oracle(nodes: list, edges: list[tuple]) -> dict:
+    """Sequential peeling: repeatedly remove min-degree nodes."""
+    adj = defaultdict(set)
+    for s, d, *_ in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = {n: len(adj[n]) for n in nodes}
+    core = {}
+    remaining = set(nodes)
+    k = 0
+    while remaining:
+        min_deg = min(deg[n] for n in remaining)
+        k = max(k, min_deg)
+        peel = [n for n in remaining if deg[n] <= k]
+        while peel:
+            n = peel.pop()
+            if n not in remaining:
+                continue
+            core[n] = k
+            remaining.discard(n)
+            for m in adj[n]:
+                if m in remaining:
+                    deg[m] -= 1
+                    if deg[m] <= k:
+                        peel.append(m)
+    return core
+
+
+def eigenvector_oracle(nodes: list, edges: list[tuple], max_iterations: int = 20) -> dict:
+    """Power iteration r ← A^T r with L2 normalization per step."""
+    idx = {n: i for i, n in enumerate(sorted(nodes))}
+    n = len(idx)
+    r = np.full(n, 1.0 / np.sqrt(n) if n else 0.0)
+    for _ in range(max_iterations):
+        msg = np.zeros(n)
+        for s, d, _w in edges:
+            msg[idx[d]] += r[idx[s]]
+        norm = np.sqrt((msg**2).sum())
+        if norm == 0:
+            break
+        r = msg / norm
+    inv = {i: k for k, i in idx.items()}
+    return {inv[i]: float(r[i]) for i in range(n)}
+
+
+def hits_oracle(nodes: list, edges: list[tuple], max_iterations: int = 20) -> tuple[dict, dict]:
+    idx = {n: i for i, n in enumerate(sorted(nodes))}
+    n = len(idx)
+    auth = np.ones(n)
+    hub = np.ones(n)
+    for _ in range(max_iterations):
+        new_auth = np.zeros(n)
+        for s, d, _w in edges:
+            new_auth[idx[d]] += hub[idx[s]]
+        an = np.sqrt((new_auth**2).sum()) or 1.0
+        new_auth /= an
+        new_hub = np.zeros(n)
+        for s, d, _w in edges:
+            new_hub[idx[s]] += new_auth[idx[d]]
+        hn = np.sqrt((new_hub**2).sum()) or 1.0
+        hub = new_hub / hn
+        auth = new_auth
+    inv = {i: k for k, i in idx.items()}
+    return (
+        {inv[i]: float(auth[i]) for i in range(n)},
+        {inv[i]: float(hub[i]) for i in range(n)},
+    )
+
+
+def article_rank_oracle(
+    nodes: list,
+    edges: list[tuple],
+    damping: float = 0.85,
+    max_iterations: int = 20,
+) -> dict:
+    """r_v ← (1−d) + d·Σ r_u / (outdeg_u + avg_outdeg); avg over nodes
+    with outdeg > 0 (GDS)."""
+    idx = {n: i for i, n in enumerate(sorted(nodes))}
+    n = len(idx)
+    out_deg = np.zeros(n)
+    for s, d, _w in edges:
+        out_deg[idx[s]] += 1.0
+    nz = out_deg[out_deg > 0]
+    avg = float(nz.mean()) if len(nz) else 0.0
+    r = np.ones(n)
+    for _ in range(max_iterations):
+        contrib = np.divide(r, out_deg + avg, out=np.zeros(n), where=out_deg > 0)
+        msg = np.zeros(n)
+        for s, d, _w in edges:
+            msg[idx[d]] += contrib[idx[s]]
+        r = (1 - damping) + damping * msg
+    inv = {i: k for k, i in idx.items()}
+    return {inv[i]: float(r[i]) for i in range(n)}
