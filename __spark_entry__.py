@@ -432,6 +432,58 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SOURCES_K = 3  # personalized PR: the 3 smallest node ids
+
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (GDS ``sourceNodes``): teleport restricted to
+    the 3 smallest node ids; fixed 20 iterations, rounded 6dp."""
+    from graph_data_science_spark.algorithms.pagerank import page_rank
+    from graph_data_science_spark.projection import project
+
+    e = _edges(spark, sf_dir)
+    g = project(e, name="entry_ppr")
+    sources = [
+        r["orig_id"]
+        for r in g.nodes.orderBy("orig_id").limit(PPR_SOURCES_K).collect()
+    ]
+    res = page_rank(
+        g, damping=PR_DAMPING, tolerance=0.0, max_iterations=PR_ITERS,
+        source_nodes=sources,
+    )
+    return (
+        res.scores.join(g.nodes, "vid")
+        .select(F.col("orig_id").alias("node_id"), F.round("score", 6).alias("score"))
+    )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the WCC partition on the derived graph (metric op,
+    1-row result)."""
+    from graph_data_science_spark.algorithms.louvain import modularity
+    from graph_data_science_spark.algorithms.wcc import wcc
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_mod")
+    comps = wcc(g).components.withColumnRenamed("component", "community")
+    q = modularity(g, comps)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain communities (deterministic BSP variant), min-member
+    canonical ids (rows-only: modularity optimization has no SQL twin;
+    quality + determinism pinned in tests/test_louvain.py)."""
+    from graph_data_science_spark.algorithms.louvain import louvain
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_louvain", orientation="UNDIRECTED")
+    res = louvain(g, max_levels=3, max_rounds_per_level=4)
+    return res.communities.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), "community"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -467,6 +519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector": q_eigenvector,
         "kcore": q_kcore,
         "hits": q_hits,
+        "pagerank_personalized": q_pagerank_personalized,
+        "modularity": q_modularity,
+        "louvain": q_louvain,
     }
 
 
@@ -641,6 +696,73 @@ FROM it JOIN deg d1 ON d1.src = n1 JOIN deg d2 ON d2.src = n2
 """
 
 
+def _ppr_oracle() -> str:
+    """Personalized PageRank unrolled: teleport (1−d)·e_S with S = the
+    PPR_SOURCES_K smallest node ids; init rank = e_S; dangling mass lost."""
+    d, iters = PR_DAMPING, PR_ITERS
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + f"""
+, srcs AS MATERIALIZED (
+    SELECT node_id FROM nodes ORDER BY node_id LIMIT {PPR_SOURCES_K}
+), tele AS MATERIALIZED (
+    SELECT n.node_id,
+           CASE WHEN s.node_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS e
+    FROM nodes n LEFT JOIN srcs s ON s.node_id = n.node_id
+), outd AS MATERIALIZED (
+    SELECT src AS node_id, count(*) AS w FROM edges GROUP BY src
+), ppr0 AS (SELECT node_id, e AS rank FROM tele)
+"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", ppr{i + 1} AS MATERIALIZED (
+    SELECT n.node_id, {1.0 - d} * t.e + {d} * coalesce(c.s, 0.0) AS rank
+    FROM nodes n
+    JOIN tele t ON t.node_id = n.node_id
+    LEFT JOIN (
+        SELECT e.dst AS node_id, sum(p.rank / o.w) AS s
+        FROM edges e
+        JOIN ppr{i} p ON p.node_id = e.src
+        JOIN outd o ON o.node_id = e.src
+        GROUP BY e.dst
+    ) c ON c.node_id = n.node_id
+)"""
+        )
+    parts.append(f"\nSELECT node_id, round(rank, 6) AS score FROM ppr{iters}")
+    return "".join(parts)
+
+
+# Modularity of the WCC partition: Q = Σ_c [w_in/2m − (w_tot/2m)²] over
+# the symmetrized edge table, components canonicalized to min member.
+_MODULARITY_ORACLE = _UND_CTE + """
+, nodes AS (SELECT DISTINCT src AS node_id FROM und),
+reach AS (
+    SELECT node_id, node_id AS member FROM nodes
+    UNION
+    SELECT r.node_id, u.dst AS member
+    FROM reach r JOIN und u ON u.src = r.member
+),
+comp AS MATERIALIZED (
+    SELECT node_id, min(member) AS c FROM reach GROUP BY node_id
+),
+tagged AS MATERIALIZED (
+    SELECT u.weight, cs.c AS c_src, cd.c AS c_dst
+    FROM und u JOIN comp cs ON cs.node_id = u.src JOIN comp cd ON cd.node_id = u.dst
+),
+m2 AS (SELECT sum(weight) AS two_m FROM tagged),
+per_c AS (
+    SELECT c_src,
+           sum(CASE WHEN c_src = c_dst THEN weight ELSE 0 END) AS w_in,
+           sum(weight) AS w_tot
+    FROM tagged GROUP BY c_src
+)
+SELECT round(sum(w_in / two_m - (w_tot / two_m) * (w_tot / two_m)), 6) AS modularity
+FROM per_c, m2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edge_derivation": _EDGES_CTE + "SELECT src, dst, weight FROM edges",
@@ -796,6 +918,8 @@ scored AS (
 )
 SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
 """,
+        "pagerank_personalized": _ppr_oracle(),
+        "modularity": _MODULARITY_ORACLE,
         "bfs": _relax_oracle(weighted=False),
         "sssp": _relax_oracle(weighted=True),
         "node_similarity": _NODE_SIM_ORACLE,

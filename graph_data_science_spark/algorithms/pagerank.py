@@ -87,6 +87,7 @@ def page_rank(
     max_iterations: int = 20,
     weighted: bool = False,
     scaler: str = "none",
+    source_nodes: list | None = None,
     edge_plan: EdgePlan | None = None,
     checkpoint: CheckpointStore | None = None,
     checkpoint_every: int = 5,
@@ -109,10 +110,26 @@ def page_rank(
         raise ValueError("executor must be 'relational' or 'csr'")
     out_w = graph.degrees("out", weighted=weighted)  # (vid, degree); 0 for dangling
 
-    init = out_w.select(
+    # Personalized PR (reference ``sourceNodes``): the teleport term
+    # (1 − d) applies only at the source set; everyone else starts at 0
+    # and receives mass solely through links (GDS semantics).
+    if source_nodes is not None:
+        spark = graph.nodes.sparkSession
+        src_df = spark.createDataFrame([(s,) for s in source_nodes], ["orig_id"])
+        src_vids = graph.nodes.join(F.broadcast(src_df), "orig_id").select(
+            "vid", F.lit(1.0).alias("_is_src")
+        )
+        base = out_w.join(src_vids, "vid", "left").select(
+            "vid", "degree", F.coalesce("_is_src", F.lit(0.0)).alias("teleport")
+        )
+    else:
+        base = out_w.withColumn("teleport", F.lit(1.0))
+
+    init = base.select(
         "vid",
-        F.lit(1.0).alias("rank"),
+        F.col("teleport").alias("rank"),
         F.col("degree").alias("out_w"),
+        "teleport",
         F.lit(float("inf")).alias("delta"),
     )
 
@@ -126,13 +143,16 @@ def page_rank(
             msgs = csr.messages(contribs, "contrib", op="sum", weighted=weighted)
         else:
             msgs = plan.messages(contribs, {"msg": msg_expr}, {"msg": F.sum("msg")})
-        new_rank = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+        new_rank = F.lit(1.0 - damping) * F.col("teleport") + F.lit(damping) * F.coalesce(
+            F.col("msg"), F.lit(0.0)
+        )
         return (
             state.join(msgs, "vid", "left")
             .select(
                 "vid",
                 new_rank.alias("rank"),
                 "out_w",
+                "teleport",
                 F.abs(new_rank - F.col("rank")).alias("delta"),
             )
         )

@@ -229,6 +229,21 @@ class _HitsProc(_Proc):
         }
 
 
+class _LouvainProc(_Proc):
+    value_cols = ["community"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.louvain import louvain
+
+        res = louvain(graph, **config)
+        n = res.communities.select("community").distinct().count()
+        return res.communities, {
+            "modularity": res.modularity,
+            "community_count": n,
+            "ran_levels": res.levels,
+        }
+
+
 class _NodeSimilarityProc(_Proc):
     """Streams (node1, node2, similarity) pairs — both ids mapped back."""
 
@@ -311,3 +326,9 @@ class SparkGDS:
         self.eigenvector = _EigenvectorProc(self)
         self.hits = _HitsProc(self)
         self.node_similarity = _NodeSimilarityProc(self)
+        self.louvain = _LouvainProc(self)
+
+    def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:
+        from graph_data_science_spark.algorithms.louvain import modularity
+
+        return modularity(graph, communities, **kw)

@@ -348,3 +348,24 @@ def article_rank_oracle(
         r = (1 - damping) + damping * msg
     inv = {i: k for k, i in idx.items()}
     return {inv[i]: float(r[i]) for i in range(n)}
+
+
+def modularity_oracle(nodes: list, edges: list[tuple], communities: dict) -> float:
+    """Q over the symmetrized graph (parallel weights summed, both
+    directions counted — matches projection.undirect_edges)."""
+    sym = defaultdict(float)
+    for s, d, w in edges:
+        sym[(s, d)] += w
+        sym[(d, s)] += w
+    two_m = sum(sym.values())
+    if not two_m:
+        return 0.0
+    intra = defaultdict(float)
+    tot = defaultdict(float)
+    for (s, d), w in sym.items():
+        tot[communities[s]] += w
+        if communities[s] == communities[d]:
+            intra[communities[s]] += w
+    return sum(
+        intra[c] / two_m - (tot[c] / two_m) ** 2 for c in tot
+    )
