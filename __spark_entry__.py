@@ -484,6 +484,42 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP embeddings (hash-deterministic sparse projections + 2-hop
+    propagation). Rows-only: the base projection uses xxhash64 which
+    DuckDB lacks; arithmetic is pinned against numpy in tests/test_fastrp.py.
+    Emits per-node embedding norm + dim so the row check is meaningful."""
+    from graph_data_science_spark.algorithms.fastrp import fast_rp
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_frp")
+    res = fast_rp(g, embedding_dimension=32)
+    return (
+        res.embeddings.join(g.nodes, "vid")
+        .select(
+            F.col("orig_id").alias("node_id"),
+            F.size("embedding").alias("dim"),
+            F.round(
+                F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 6
+            ).alias("norm"),
+        )
+    )
+
+
+def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks (hash-indexed neighbor choice),
+    2 walks/node × 5 steps → path rows. Rows-only (sampling has no SQL
+    twin; structural validity pinned in tests/test_randomwalk.py)."""
+    from graph_data_science_spark.algorithms.randomwalk import random_walk
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_rw")
+    res = random_walk(g, walks_per_node=2, walk_length=5)
+    return res.walks.join(g.nodes, "vid").select(
+        "walk_id", "step", F.col("orig_id").alias("node_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -522,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q_pagerank_personalized,
         "modularity": q_modularity,
         "louvain": q_louvain,
+        "fastrp": q_fastrp,
+        "random_walk": q_random_walk,
     }
 
 

@@ -229,6 +229,35 @@ class _HitsProc(_Proc):
         }
 
 
+class _FastRPProc(_Proc):
+    value_cols = ["embedding"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.fastrp import fast_rp
+
+        res = fast_rp(graph, **config)
+        return res.embeddings, {"ran_iterations": res.iterations}
+
+
+class _RandomWalkProc(_Proc):
+    """Streams (walk_id, step, node_id) path rows."""
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.randomwalk import random_walk
+
+        res = random_walk(graph, **config)
+        return (
+            res.walks.join(graph.nodes, "vid")
+            .select("walk_id", "step", F.col("orig_id").alias("node_id"))
+        )
+
+    def stats(self, graph: ProjectedGraph, **config) -> dict:
+        from graph_data_science_spark.algorithms.randomwalk import random_walk
+
+        res = random_walk(graph, **config)
+        return {"walk_count": res.walk_count, "max_steps": res.max_steps}
+
+
 class _LouvainProc(_Proc):
     value_cols = ["community"]
 
@@ -327,6 +356,8 @@ class SparkGDS:
         self.hits = _HitsProc(self)
         self.node_similarity = _NodeSimilarityProc(self)
         self.louvain = _LouvainProc(self)
+        self.fast_rp = _FastRPProc(self)
+        self.random_walk = _RandomWalkProc(self)
 
     def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:
         from graph_data_science_spark.algorithms.louvain import modularity
