@@ -520,6 +520,41 @@ def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness (6 deterministic sources). Rows-only:
+    the per-source two-pass accumulation has no tractable SQL twin; exact
+    and sampled variants are pinned against a pure-Python Brandes oracle
+    in tests/test_betweenness.py."""
+    from graph_data_science_spark.algorithms.betweenness import betweenness
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_btw")
+    res = betweenness(g, sampling_size=6)
+    return res.scores.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_graph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subgraph projection (reference ``gds.graph.filter``): keep edges
+    with weight ≥ 2, re-project, report degrees of the filtered graph."""
+    from graph_data_science_spark.projection import project
+
+    e = _edges(spark, sf_dir).filter(F.col("weight") >= 2)
+    g = project(e, name="entry_filter")
+    deg = g.edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("out_degree"), F.sum("weight").alias("weighted_out_degree")
+    )
+    return (
+        deg.join(g.nodes, deg["src"] == g.nodes["vid"])
+        .select(
+            F.col("orig_id").alias("node_id"),
+            "out_degree",
+            F.col("weighted_out_degree").cast("double").alias("weighted_out_degree"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -560,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "fastrp": q_fastrp,
         "random_walk": q_random_walk,
+        "graph_filter": q_graph_filter,
+        "betweenness": q_betweenness,
     }
 
 
@@ -955,6 +992,13 @@ scored AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+""",
+        "graph_filter": _EDGES_CTE + """
+SELECT src AS node_id,
+       count(*) AS out_degree,
+       sum(weight)::DOUBLE AS weighted_out_degree
+FROM edges WHERE weight >= 2
+GROUP BY src
 """,
         "pagerank_personalized": _ppr_oracle(),
         "modularity": _MODULARITY_ORACLE,

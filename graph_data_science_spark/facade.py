@@ -229,6 +229,16 @@ class _HitsProc(_Proc):
         }
 
 
+class _BetweennessProc(_Proc):
+    value_cols = ["score"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.betweenness import betweenness
+
+        res = betweenness(graph, **config)
+        return res.scores, {"sources_used": res.sources_used}
+
+
 class _FastRPProc(_Proc):
     value_cols = ["embedding"]
 
@@ -357,6 +367,7 @@ class SparkGDS:
         self.node_similarity = _NodeSimilarityProc(self)
         self.louvain = _LouvainProc(self)
         self.fast_rp = _FastRPProc(self)
+        self.betweenness = _BetweennessProc(self)
         self.random_walk = _RandomWalkProc(self)
 
     def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:

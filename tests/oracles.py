@@ -369,3 +369,39 @@ def modularity_oracle(nodes: list, edges: list[tuple], communities: dict) -> flo
     return sum(
         intra[c] / two_m - (tot[c] / two_m) ** 2 for c in tot
     )
+
+
+def betweenness_oracle(nodes: list, edges: list[tuple], sources: list | None = None) -> dict:
+    """Brandes 2001, directed, unweighted, restricted to the given source
+    set (all nodes when None)."""
+    from collections import deque
+
+    adj = defaultdict(list)
+    for s, d, *_ in edges:
+        adj[s].append(d)
+    bc = {v: 0.0 for v in nodes}
+    for s in sources if sources is not None else nodes:
+        stack = []
+        pred = {v: [] for v in nodes}
+        sigma = {v: 0.0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
