@@ -52,6 +52,10 @@ def run_bench(
             "scc",
             "pagerank",
             "label_propagation",
+            "node_similarity",
+            "minhash_lsh",
+            "embedding_topk",
+            "quality_score",
         ]
         qs = entrymod.queries()
         for name in suite:
