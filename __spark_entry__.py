@@ -555,6 +555,40 @@ def q_graph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scale_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``gds.scaleProperties`` analogue: minmax + stdscore over the
+    out-degree property, one aggregate pass."""
+    from graph_data_science_spark.operators.scaling import scale_properties
+
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("degree")
+    )
+    out = scale_properties(deg, {"degree": "minmax"}, suffix="_minmax")
+    out = scale_properties(out.select("node_id", "degree", "degree_minmax"), {"degree": "stdscore"}, suffix="_std")
+    return out.select(
+        "node_id",
+        F.col("degree").cast("long").alias("degree"),
+        F.round("degree_minmax", 6).alias("degree_minmax"),
+        F.round("degree_std", 6).alias("degree_std"),
+    )
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of a deterministic 4-way partition
+    (community = node_id % 4) on the derived graph."""
+    from graph_data_science_spark.algorithms.louvain import conductance
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_cond")
+    parts = g.nodes.select(
+        "vid", F.pmod(F.col("orig_id"), F.lit(4)).alias("community")
+    )
+    return conductance(g, parts).select(
+        "community", F.round("conductance", 6).alias("conductance")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -597,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walk": q_random_walk,
         "graph_filter": q_graph_filter,
         "betweenness": q_betweenness,
+        "scale_properties": q_scale_properties,
+        "conductance": q_conductance,
     }
 
 
@@ -999,6 +1035,38 @@ SELECT src AS node_id,
        sum(weight)::DOUBLE AS weighted_out_degree
 FROM edges WHERE weight >= 2
 GROUP BY src
+""",
+        "scale_properties": _EDGES_CTE + """
+, deg AS MATERIALIZED (
+    SELECT src AS node_id, count(*)::DOUBLE AS degree FROM edges GROUP BY src
+), st AS (
+    SELECT min(degree) AS mn, max(degree) AS mx, avg(degree) AS av,
+           stddev_pop(degree) AS sd
+    FROM deg
+)
+SELECT node_id, degree::BIGINT AS degree,
+       round((degree - mn) / (CASE WHEN mx - mn = 0 THEN 1.0 ELSE mx - mn END), 6) AS degree_minmax,
+       round((degree - av) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END), 6) AS degree_std
+FROM deg, st
+""",
+        "conductance": _EDGES_CTE + """
+, tagged AS MATERIALIZED (
+    SELECT weight, src % 4 AS c_src, dst % 4 AS c_dst FROM edges
+), per_src AS (
+    SELECT c_src AS community,
+           sum(CASE WHEN c_src = c_dst THEN weight ELSE 0 END) AS internal,
+           sum(CASE WHEN c_src <> c_dst THEN weight ELSE 0 END) AS ext_out
+    FROM tagged GROUP BY c_src
+), per_dst AS (
+    SELECT c_dst AS community, sum(weight) AS ext_in
+    FROM tagged WHERE c_src <> c_dst GROUP BY c_dst
+)
+SELECT community,
+       round(CASE WHEN coalesce(internal, 0) + coalesce(ext_out, 0) + coalesce(ext_in, 0) > 0
+            THEN (coalesce(ext_out, 0) + coalesce(ext_in, 0))
+                 / (coalesce(internal, 0) + coalesce(ext_out, 0) + coalesce(ext_in, 0))
+            ELSE 0 END, 6) AS conductance
+FROM per_src FULL OUTER JOIN per_dst USING (community)
 """,
         "pagerank_personalized": _ppr_oracle(),
         "modularity": _MODULARITY_ORACLE,

@@ -82,6 +82,44 @@ def modularity(
     return float(row or 0.0)
 
 
+def conductance(
+    graph: ProjectedGraph, communities: DataFrame, community_col: str = "community"
+) -> DataFrame:
+    """Per-community conductance (reference ``gds.conductance``):
+    φ(C) = external edge weight / (external + internal edge weight),
+    counted over the stored (directed) edges — GDS counts each
+    relationship once. → (community, conductance)."""
+    com = communities.select("vid", F.col(community_col).alias("_c"))
+    cs = com.select(F.col("vid").alias("src"), F.col("_c").alias("c_src"))
+    cd = com.select(F.col("vid").alias("dst"), F.col("_c").alias("c_dst"))
+    tagged = graph.edges.join(cs, "src").join(cd, "dst")
+    # an inter-community edge is external to BOTH endpoints' communities
+    per_src = tagged.groupBy(F.col("c_src").alias("community")).agg(
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), F.col("weight")).otherwise(0.0)).alias("internal"),
+        F.sum(F.when(F.col("c_src") != F.col("c_dst"), F.col("weight")).otherwise(0.0)).alias("ext_out"),
+    )
+    per_dst = tagged.filter(F.col("c_src") != F.col("c_dst")).groupBy(
+        F.col("c_dst").alias("community")
+    ).agg(F.sum("weight").alias("ext_in"))
+    return (
+        per_src.join(per_dst, "community", "outer")
+        .select(
+            "community",
+            F.coalesce("internal", F.lit(0.0)).alias("internal"),
+            (F.coalesce("ext_out", F.lit(0.0)) + F.coalesce("ext_in", F.lit(0.0))).alias("external"),
+        )
+        .select(
+            "community",
+            F.when(
+                F.col("internal") + F.col("external") > 0,
+                F.col("external") / (F.col("internal") + F.col("external")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+    )
+
+
 @dataclass
 class LouvainResult:
     communities: DataFrame  # (vid, community) — final level, vid space
