@@ -555,6 +555,21 @@ def q_graph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closeness + harmonic centrality via multi-source BFS (one
+    superstep loop over (source, node) pair state)."""
+    from graph_data_science_spark.algorithms.paths import closeness
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_close")
+    out = closeness(g, max_iterations=BF_ROUNDS)
+    return out.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"),
+        F.round("closeness", 6).alias("closeness"),
+        F.round("harmonic", 6).alias("harmonic"),
+    )
+
+
 def q_scale_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``gds.scaleProperties`` analogue: minmax + stdscore over the
     out-degree property, one aggregate pass."""
@@ -633,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "scale_properties": q_scale_properties,
         "conductance": q_conductance,
+        "closeness": q_closeness,
     }
 
 
@@ -874,6 +890,46 @@ FROM per_c, m2
 """
 
 
+def _closeness_oracle() -> str:
+    """All-pairs hop distances by unrolled Bellman-Ford over the full
+    (src, node) matrix, then closeness = (r−1)/Σd and harmonic = Σ(1/d)/(n−1)."""
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + f"""
+, ap0 AS MATERIALIZED (
+    SELECT s.node_id AS src, n.node_id AS node,
+           CASE WHEN s.node_id = n.node_id THEN 0.0 ELSE {_INF} END AS dist
+    FROM nodes s, nodes n
+)"""
+    ]
+    for i in range(BF_ROUNDS):
+        parts.append(
+            f""", ap{i + 1} AS MATERIALIZED (
+    SELECT p.src, p.node, least(p.dist, coalesce(m.best, {_INF})) AS dist
+    FROM ap{i} p LEFT JOIN (
+        SELECT d.src, e.dst AS node, min(d.dist + 1) AS best
+        FROM edges e JOIN ap{i} d ON d.node = e.src AND d.dist < {_INF}
+        GROUP BY d.src, e.dst
+    ) m ON m.src = p.src AND m.node = p.node
+)"""
+        )
+    parts.append(
+        f"""
+, agg AS (
+    SELECT src, count(*) AS r1, sum(dist) AS sum_d, sum(1.0 / dist) AS sum_inv
+    FROM ap{BF_ROUNDS} WHERE dist > 0 AND dist < {_INF}
+    GROUP BY src
+), nn AS (SELECT count(*) AS n FROM nodes)
+SELECT n2.node_id,
+       round(coalesce(a.r1 / a.sum_d, 0.0), 6) AS closeness,
+       round(coalesce(a.sum_inv / (nn.n - 1), 0.0), 6) AS harmonic
+FROM nodes n2 LEFT JOIN agg a ON a.src = n2.node_id, nn
+"""
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edge_derivation": _EDGES_CTE + "SELECT src, dst, weight FROM edges",
@@ -1036,6 +1092,7 @@ SELECT src AS node_id,
 FROM edges WHERE weight >= 2
 GROUP BY src
 """,
+        "closeness": _closeness_oracle(),
         "scale_properties": _EDGES_CTE + """
 , deg AS MATERIALIZED (
     SELECT src AS node_id, count(*)::DOUBLE AS degree FROM edges GROUP BY src

@@ -120,3 +120,78 @@ def sssp(
 ) -> PathResult:
     """Weighted shortest-path distance from the source set → (vid, distance)."""
     return _relax(graph, sources, weighted=True, max_iterations=max_iterations, edge_plan=edge_plan)
+
+
+def all_pairs_hops(
+    graph: ProjectedGraph, sources: DataFrame | None = None, max_iterations: int = 1000
+) -> DataFrame:
+    """Multi-source BFS: hop distances for every (source, node) pair in
+    ONE superstep loop (the reference's MS-BFS idea, relationally:
+    the frontier is (src, vid) pairs instead of per-source bitsets).
+    → (src, vid, hops). ``sources=None`` uses every node (exact
+    all-pairs; state is O(n · reach) — sample sources at scale).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).distinct()
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    if sources is None:
+        sources = graph.nodes.select("vid")
+    settled = sources.select(
+        F.col("vid").alias("src"), F.col("vid").alias("vid"), F.lit(0).alias("hops")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    d = 0
+    while d < max_iterations:
+        nxt = (
+            frontier.join(edges, frontier["vid"] == edges["u"])
+            .select("src", F.col("v").alias("vid"))
+            .distinct()
+            .join(settled.select("src", "vid"), ["src", "vid"], "left_anti")
+            .withColumn("hops", F.lit(d + 1))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        d += 1
+    edges.unpersist()
+    return settled
+
+
+def closeness(
+    graph: ProjectedGraph,
+    wasserman_faust: bool = False,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """Closeness centrality (reference ``gds.closeness``) via multi-source
+    BFS: c(v) = (r−1) / Σ_u d(v,u) over the r nodes v reaches along
+    out-edges; the Wasserman-Faust variant multiplies by (r−1)/(n−1).
+    → (vid, closeness, harmonic): harmonic c_h(v) = Σ 1/d / (n−1) comes
+    free from the same pair table. (Run on ``graph.to_undirected()`` or a
+    REVERSE projection for undirected / in-distance variants.)"""
+    pairs = all_pairs_hops(graph, max_iterations=max_iterations)
+    n = max(graph.node_count, 1)
+    per = pairs.filter(F.col("hops") > 0).groupBy("src").agg(
+        F.count(F.lit(1)).alias("r1"),  # reached minus self
+        F.sum("hops").alias("sum_d"),
+        F.sum(1.0 / F.col("hops")).alias("sum_inv"),
+    )
+    base = F.col("r1") / F.col("sum_d")
+    c = base * ((F.col("r1")) / F.lit(float(n - 1))) if wasserman_faust else base
+    out = per.select(
+        F.col("src").alias("vid"),
+        c.alias("closeness"),
+        (F.col("sum_inv") / F.lit(float(n - 1))).alias("harmonic"),
+    )
+    return (
+        graph.nodes.select("vid")
+        .join(out, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("closeness", F.lit(0.0)).alias("closeness"),
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+        )
+    )

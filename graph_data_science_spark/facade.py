@@ -229,6 +229,16 @@ class _HitsProc(_Proc):
         }
 
 
+class _ClosenessProc(_Proc):
+    value_cols = ["closeness", "harmonic"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.paths import closeness
+
+        out = closeness(graph, **config)
+        return out, {"node_count": graph.node_count}
+
+
 class _BetweennessProc(_Proc):
     value_cols = ["score"]
 
@@ -368,6 +378,7 @@ class SparkGDS:
         self.louvain = _LouvainProc(self)
         self.fast_rp = _FastRPProc(self)
         self.betweenness = _BetweennessProc(self)
+        self.closeness = _ClosenessProc(self)
         self.random_walk = _RandomWalkProc(self)
 
     def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:

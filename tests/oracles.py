@@ -405,3 +405,29 @@ def betweenness_oracle(nodes: list, edges: list[tuple], sources: list | None = N
             if w != s:
                 bc[w] += delta[w]
     return bc
+
+
+def closeness_oracle(nodes: list, edges: list[tuple]) -> tuple[dict, dict]:
+    """(closeness, harmonic): BFS from each node over directed edges;
+    closeness = (r−1)/Σd over reached r nodes (0 when nothing reached);
+    harmonic = Σ 1/d / (n−1)."""
+    adj = defaultdict(list)
+    for s, d, *_ in edges:
+        adj[s].append(d)
+    n = len(nodes)
+    close, harm = {}, {}
+    for s in nodes:
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        reached = [d for v, d in dist.items() if v != s]
+        close[s] = (len(reached) / sum(reached)) if reached else 0.0
+        harm[s] = sum(1.0 / d for d in reached) / (n - 1) if n > 1 else 0.0
+    return close, harm
