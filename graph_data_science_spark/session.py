@@ -52,8 +52,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # Superstep loops call localCheckpoint; reserve sensible storage.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Superstep loops cache the edge plan + localCheckpoint state every
+        # iteration; an undersized heap turns the loop GC-bound (measured:
+        # 8g caused GCLocker retry storms and 1.6× superstep slowdown at
+        # 27M edges on the 128 GiB sandbox). Local mode = one JVM for
+        # driver + executors, so size it like an executor.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
