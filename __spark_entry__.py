@@ -604,6 +604,19 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-Means (k=10, Lloyd's, min-id init/tie-break) over
+    the embeddings table → (vec_id, cluster, distance). Rows-only: the
+    iterative centroid updates have no tractable SQL twin; pinned against
+    a numpy Lloyd's oracle in tests/test_kmeans.py."""
+    from graph_data_science_spark.operators.kmeans import k_means
+
+    res = k_means(_embeddings(spark, sf_dir), k=10, max_iterations=8)
+    return res.assignments.select(
+        F.col("id").alias("vec_id"), "cluster", F.round("distance", 6).alias("distance")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -649,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_properties": q_scale_properties,
         "conductance": q_conductance,
         "closeness": q_closeness,
+        "kmeans": q_kmeans,
     }
 
 

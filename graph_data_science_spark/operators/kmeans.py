@@ -1,0 +1,113 @@
+"""K-Means over an embedding column (reference ``gds.kmeans`` shape —
+GDS runs it on node-property vectors; here on any (id, array<float>)
+table, e.g. the `embeddings` test table or FastRP output).
+
+Deterministic Lloyd's:
+- init: the k vectors with the smallest ids (upstream samples randomly;
+  determinism is what our parity/resume story needs);
+- assign: argmin over squared L2 distance, ties → smallest centroid id
+  (``array_min`` over (dist, cid) structs — lexicographic, so the
+  tie-break is built into the comparison);
+- update: per-centroid mean via ``posexplode`` + ``groupBy(cid, dim)``
+  partial+final aggregation (the same skew-safe element-wise shape as
+  FastRP — no collect_list of vectors); empty clusters keep their
+  previous centroid (standard convention).
+
+Centroids (k·d doubles) live on the driver between iterations — the
+masterCompute pattern; assignments never leave the cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class KMeansResult:
+    assignments: DataFrame  # (id, cluster, distance)
+    centroids: list[list[float]]
+    iterations: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _dist2(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def k_means(
+    df: DataFrame,
+    k: int = 10,
+    max_iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tolerance: float = 1e-6,
+) -> KMeansResult:
+    data = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = data.count()
+    k = min(k, n)
+    centroids = [
+        list(r["v"]) for r in data.orderBy("id").limit(k).collect()
+    ]
+
+    metrics: list[dict] = []
+    iterations = 0
+    assigned = None
+    for it in range(max_iterations):
+        pairs = F.array(
+            *[
+                F.struct(_dist2(F.col("v"), c).alias("d"), F.lit(ci).alias("cid"))
+                for ci, c in enumerate(centroids)
+            ]
+        )
+        best = F.array_min(pairs)
+        assigned = data.select(
+            "id", "v", best["cid"].alias("cluster"), best["d"].alias("d2")
+        ).localCheckpoint(eager=True)
+
+        dim_means = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in dim_means:
+            new_centroids[r["cluster"]] = list(r["centroid"])
+        shift = max(
+            (
+                sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5
+                for old, new in zip(centroids, new_centroids)
+            ),
+            default=0.0,
+        )
+        centroids = new_centroids
+        iterations = it + 1
+        metrics.append({"iteration": it, "max_centroid_shift": shift})
+        if shift < tolerance:
+            break
+
+    out = assigned.select(
+        "id", "cluster", F.sqrt("d2").alias("distance")
+    )
+    data.unpersist()
+    return KMeansResult(
+        assignments=out, centroids=centroids, iterations=iterations, metrics=metrics
+    )
