@@ -604,6 +604,24 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAG_ROUNDS = 16  # > measured longest-path depth (11) of the src<dst subgraph
+
+
+def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological levels (longest-path hop depth) on the acyclic
+    src<dst subgraph of the derived edges (reference
+    ``gds.dag.topologicalSort`` / ``longestPath``)."""
+    from graph_data_science_spark.algorithms.dag import topological_levels
+    from graph_data_science_spark.projection import project
+
+    e = _edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    g = project(e, name="entry_dag")
+    res = topological_levels(g, max_rounds=DAG_ROUNDS)
+    return res.levels.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), "level"
+    )
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic K-Means (k=10, Lloyd's, min-id init/tie-break) over
     the embeddings table → (vec_id, cluster, distance). Rows-only: the
@@ -663,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance": q_conductance,
         "closeness": q_closeness,
         "kmeans": q_kmeans,
+        "dag_levels": q_dag_levels,
     }
 
 
@@ -944,6 +963,36 @@ FROM nodes n2 LEFT JOIN agg a ON a.src = n2.node_id, nn
     return "".join(parts)
 
 
+def _dag_oracle() -> str:
+    """Unrolled max-relaxation on the acyclic src<dst subgraph:
+    level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
+    frontier supersteps equal full relaxation rounds, so both sides hit
+    the same fixpoint."""
+    parts = [
+        _EDGES_CTE
+        + """
+, dag AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst)
+, dnodes AS MATERIALIZED (
+    SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM dag UNION ALL SELECT dst AS node_id FROM dag)
+)
+, lv0 AS (SELECT node_id, 0 AS level FROM dnodes)
+"""
+    ]
+    for i in range(DAG_ROUNDS):
+        parts.append(
+            f""", lv{i + 1} AS MATERIALIZED (
+    SELECT n.node_id, greatest(n.level, coalesce(m.best, 0)) AS level
+    FROM lv{i} n LEFT JOIN (
+        SELECT e.dst AS node_id, max(d.level + 1) AS best
+        FROM dag e JOIN lv{i} d ON d.node_id = e.src
+        GROUP BY e.dst
+    ) m ON m.node_id = n.node_id
+)"""
+        )
+    parts.append(f"\nSELECT node_id, level::BIGINT AS level FROM lv{DAG_ROUNDS}")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edge_derivation": _EDGES_CTE + "SELECT src, dst, weight FROM edges",
@@ -1107,6 +1156,7 @@ FROM edges WHERE weight >= 2
 GROUP BY src
 """,
         "closeness": _closeness_oracle(),
+        "dag_levels": _dag_oracle(),
         "scale_properties": _EDGES_CTE + """
 , deg AS MATERIALIZED (
     SELECT src AS node_id, count(*)::DOUBLE AS degree FROM edges GROUP BY src
