@@ -604,7 +604,12 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DAG_ROUNDS = 16  # > measured longest-path depth (11) of the src<dst subgraph
+# Oracle unroll depth: > measured longest-path depth (11) of the src<dst
+# subgraph at the driver's sf. The ENGINE side uses the safe node_count+1
+# bound (max_rounds=None) so a deeper graph converges instead of raising a
+# false "cycle" error; both sides stop at the same fixpoint, so any bound
+# ≥ true depth keeps the comparison exact.
+DAG_ROUNDS = 16
 
 
 def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,7 +621,7 @@ def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
     g = project(e, name="entry_dag")
-    res = topological_levels(g, max_rounds=DAG_ROUNDS)
+    res = topological_levels(g)
     return res.levels.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "level"
     )
@@ -1016,9 +1021,9 @@ GROUP BY from_type, to_type
     SELECT dst AS node_id, count(*) AS in_degree FROM edges GROUP BY dst
 )
 SELECT n.node_id,
-       coalesce(o.out_degree, 0) AS out_degree,
-       coalesce(i.in_degree, 0) AS in_degree,
-       coalesce(o.weighted_out_degree, 0) AS weighted_out_degree
+       coalesce(o.out_degree, 0)::BIGINT AS out_degree,
+       coalesce(i.in_degree, 0)::BIGINT AS in_degree,
+       coalesce(o.weighted_out_degree, 0)::BIGINT AS weighted_out_degree
 FROM nodes n LEFT JOIN outd o USING (node_id) LEFT JOIN ind i USING (node_id)
 """,
         "top_k_degree": _EDGES_CTE + """

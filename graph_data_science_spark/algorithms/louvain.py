@@ -260,15 +260,19 @@ def louvain(
         n_comms = assign.select("community").distinct().count()
         n_nodes = assign.count()
         metrics.append({"level": level, "modularity": q_new, "communities": n_comms})
-        # compose: vid → old community → new community of that super-node
+        # compose: vid → old community → new community of that super-node.
+        # LEFT join: _move_phase only sees edge endpoints, so an isolated
+        # node (possible with an explicit node set) has no row in `assign`
+        # — it keeps its own community id (a singleton, GDS semantics).
         mapping = (
             mapping.join(
                 assign.select(
                     F.col("vid").alias("community"), F.col("community").alias("_next")
                 ),
                 "community",
+                "left",
             )
-            .select("vid", F.col("_next").alias("community"))
+            .select("vid", F.coalesce("_next", F.col("community")).alias("community"))
             .localCheckpoint(eager=True)
         )
         levels = level + 1

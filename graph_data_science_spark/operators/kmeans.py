@@ -57,25 +57,35 @@ def k_means(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n = data.count()
     k = min(k, n)
+    if k == 0:  # empty input: empty assignment, no centroids
+        data.unpersist()
+        empty = df.sparkSession.createDataFrame(
+            [], "id long, cluster int, distance double"
+        )
+        return KMeansResult(assignments=empty, centroids=[], iterations=0)
     centroids = [
         list(r["v"]) for r in data.orderBy("id").limit(k).collect()
     ]
 
-    metrics: list[dict] = []
-    iterations = 0
-    assigned = None
-    for it in range(max_iterations):
+    def _assign(cents: list[list[float]]) -> DataFrame:
         pairs = F.array(
             *[
                 F.struct(_dist2(F.col("v"), c).alias("d"), F.lit(ci).alias("cid"))
-                for ci, c in enumerate(centroids)
+                for ci, c in enumerate(cents)
             ]
         )
         best = F.array_min(pairs)
-        assigned = data.select(
+        return data.select(
             "id", "v", best["cid"].alias("cluster"), best["d"].alias("d2")
         ).localCheckpoint(eager=True)
 
+    metrics: list[dict] = []
+    iterations = 0
+    # max_iterations=0 still yields assignments against the seed centroids
+    assigned = _assign(centroids)
+    for it in range(max_iterations):
+        if it > 0:
+            assigned = _assign(centroids)
         dim_means = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")

@@ -13,6 +13,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~40% of physical RAM, clamped to [8g, 48g] — big enough to keep
+    superstep loops out of GC trouble, never larger than the host."""
+    try:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        total_gb = 16.0
+    return f"{max(8, min(48, int(total_gb * 0.4)))}g"
+
+
 def get_spark(
     app_name: str = "spark-gds",
     master: str | None = None,
@@ -56,8 +66,9 @@ def get_spark(
         # iteration; an undersized heap turns the loop GC-bound (measured:
         # 8g caused GCLocker retry storms and 1.6× superstep slowdown at
         # 27M edges on the 128 GiB sandbox). Local mode = one JVM for
-        # driver + executors, so size it like an executor.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # driver + executors, so size it like an executor: ~40% of physical
+        # RAM, clamped to [8g, 48g]; SPARK_GRAFT_DRIVER_MEM overrides.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

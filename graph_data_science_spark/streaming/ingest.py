@@ -16,8 +16,12 @@ continuously; the graph jobs run on snapshots. Three pieces:
   edge table for the affected tools only (the derivation window is
   per-tool, so a tool untouched by the batch cannot change).
 
-All sinks are exactly-once per Structured Streaming's checkpoint
-contract (sink idempotence + WAL offsets).
+End-to-end guarantee: Structured Streaming's checkpoint gives at-least-
+once batch delivery; every sink here is made *idempotent per batch* so
+replays collapse to exactly-once results. Concretely, the bronze write
+lands each micro-batch in its own ``_batch_id`` partition with dynamic
+partition overwrite — a batch retried after a mid-write failure
+overwrites its own partition instead of appending duplicates.
 """
 
 from __future__ import annotations
@@ -77,6 +81,15 @@ def tool_usage_windows(
     )
 
 
+def read_bronze(spark: SparkSession, bronze_dir: str) -> DataFrame:
+    """Read the bronze transcript table written by
+    ``incremental_edge_refresh`` (drops the ``_batch_id`` bookkeeping
+    partition column, returns the transcript schema)."""
+    return spark.read.parquet(bronze_dir).drop("_batch_id").select(
+        *[f.name for f in TRANSCRIPTS_SCHEMA.fields]
+    )
+
+
 def incremental_edge_refresh(
     spark: SparkSession,
     source_dir: str,
@@ -98,7 +111,15 @@ def incremental_edge_refresh(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("append").parquet(bronze_dir)
+        # Idempotent bronze append: one partition per micro-batch; a replay
+        # (foreachBatch is at-least-once) dynamic-overwrites the same
+        # _batch_id partition, so bronze row counts stay exact.
+        (
+            batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(bronze_dir)
+        )
         tools = [
             r["tool"]
             for r in batch_df.select("tool")
@@ -108,7 +129,7 @@ def incremental_edge_refresh(
         ]
         if not tools:
             return
-        bronze = batch_df.sparkSession.read.schema(TRANSCRIPTS_SCHEMA).parquet(bronze_dir)
+        bronze = read_bronze(batch_df.sparkSession, bronze_dir)
         affected = bronze.filter(F.col("tool").isin(tools))
         # per-tool edge parts, dynamic-partition-overwritten: only the
         # tools touched by this batch are rewritten.

@@ -68,3 +68,22 @@ def test_deterministic(spark, vectors):
     a = {r["id"]: r["cluster"] for r in k_means(df, k=3).assignments.collect()}
     b = {r["id"]: r["cluster"] for r in k_means(df, k=3).assignments.collect()}
     assert a == b
+
+
+def test_zero_iterations_assigns_to_seed_centroids(spark, vectors):
+    df, rows = vectors
+    res = k_means(df, k=3, max_iterations=0)
+    assert res.iterations == 0
+    got = {r["id"]: r["cluster"] for r in res.assignments.collect()}
+    assert len(got) == len(rows)
+    # seed centroids are the k smallest ids; each seeds its own cluster
+    for i in range(3):
+        assert got[i] == i
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    res = k_means(df, k=3, max_iterations=5)
+    assert res.assignments.count() == 0
+    assert res.centroids == []
+    assert res.iterations == 0

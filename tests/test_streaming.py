@@ -16,6 +16,7 @@ from graph_data_science_spark.sources.transcripts import (
 )
 from graph_data_science_spark.streaming.ingest import (
     incremental_edge_refresh,
+    read_bronze,
     stream_transcripts,
     tool_usage_windows,
 )
@@ -96,7 +97,7 @@ def test_incremental_refresh_matches_batch_derivation(spark, dirs):
     )
     q.awaitTermination(180)
 
-    bronze = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(dirs["bronze"])
+    bronze = read_bronze(spark, dirs["bronze"])
     want = {
         (r["src"], r["dst"]): r["weight"] for r in derive_edges(bronze).collect()
     }
@@ -108,6 +109,28 @@ def test_incremental_refresh_matches_batch_derivation(spark, dirs):
         .collect()
     }
     assert got == want
+
+
+def test_bronze_replay_is_idempotent(spark, dirs):
+    """foreachBatch is at-least-once: re-delivering the same micro-batch
+    (same batch_id) must not duplicate bronze rows — the batch_id-
+    partitioned dynamic overwrite makes the write idempotent."""
+    import shutil
+
+    _write_batch(spark, dirs["src"], 40, 1, "b1")
+    q = incremental_edge_refresh(
+        spark, dirs["src"] + "/*", dirs["bronze"], dirs["edges"], dirs["ckpt1"]
+    )
+    q.awaitTermination(180)
+    n1 = read_bronze(spark, dirs["bronze"]).count()
+    # simulate a replay: wipe the checkpoint so the same files are
+    # re-delivered as batch 0 again
+    shutil.rmtree(dirs["ckpt1"])
+    q = incremental_edge_refresh(
+        spark, dirs["src"] + "/*", dirs["bronze"], dirs["edges"], dirs["ckpt1"]
+    )
+    q.awaitTermination(180)
+    assert read_bronze(spark, dirs["bronze"]).count() == n1
 
 
 def test_per_group_decomposition_equals_full(spark):
