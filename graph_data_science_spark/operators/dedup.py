@@ -123,48 +123,53 @@ def minhash_signatures(
     """(id, sig: array<long>[k]) MinHash signatures over the token set.
 
     Token base hash = xxhash64 folded into [0, 2^31−1); permutation i is
-    (aᵢ·h + bᵢ) mod p. The whole signature is k ``array_min(transform(…))``
-    expressions over one token-hash array — single pass, no explode.
+    (aᵢ·h + bᵢ) mod p. The signature is ONE fold over the token-hash
+    array: per token, evaluate all k permutations into a k-array, then
+    ``aggregate``+``zip_with(least)`` element-wise — so ``tokenize`` and
+    the base hash run exactly once per row. (The naive shape — k separate
+    ``array_min(transform(…))`` expressions — re-tokenizes per
+    permutation: higher-order functions are interpreted, with no common
+    subexpression elimination; measured 64× regexp cost.)
+    Empty doc → all-sentinel signature (the fold's start value).
     """
     params = _minhash_params(num_hashes, seed)
     toks = F.array_distinct(tokenize(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE31)))
 
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))
+    def _perms_of(h: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))
+                for a, b in params
+            ]
+        )
 
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(hashes, _perm(a, b))),
-                F.lit(MERSENNE31),  # empty doc → max sentinel
-            )
-            for a, b in params
-        ]
+    sig = F.aggregate(
+        F.transform(hashes, _perms_of),
+        F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda u, v: F.least(u, v)),
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 16,
-    seed: int = 42,
+def _banded_candidates(
+    sigs: DataFrame, bands: int, r: int, max_bucket_size: int | None
 ) -> DataFrame:
-    """Near-dup pairs: LSH banding for candidates, exact Jaccard verify.
+    """(id_a, id_b) candidate pairs from LSH band buckets over
+    (id, sig) signatures, with the oversize-bucket split guard.
 
-    b=16 × r=4 over k=64 → candidate threshold ≈ (1/16)^(1/4) ≈ 0.5; pairs
-    sharing ≥1 band bucket are verified with the true token-set Jaccard
-    and kept when ≥ threshold. Returns (id_a, id_b, jaccard) rounded 6dp.
+    A degenerate band bucket of m members contributes m² rows to the
+    self-join; buckets larger than ``max_bucket_size`` are
+    deterministically sub-split by a hash of the FULL signature, so
+    signature-identical members always stay together while near-identical
+    ones scatter. A true pair split apart in one band still meets in any
+    of the other b−1 bands (per-band match probability j^r), so the
+    recall impact at j ≥ the target threshold is negligible — this is the
+    production LSH analogue of the ``max_df`` hot-token cut.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, seed)
     banded = sigs.select(
         "id",
+        F.xxhash64(F.col("sig").cast("string")).alias("fsig"),
         F.explode(
             F.array(
                 *[
@@ -176,31 +181,109 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig_h").alias("sig_h"))
-    left = banded.select(F.col("id").alias("id_a"), "band", "sig_h")
-    right = banded.select(F.col("id").alias("id_b"), "band", "sig_h")
-    cands = (
-        left.join(right, ["band", "sig_h"])
+    ).select("id", "fsig", F.col("bk.band").alias("band"), F.col("bk.sig_h").alias("sig_h"))
+    # materialize once: referenced by the bucket-size count AND both sides
+    # of the pair self-join — without a barrier each branch re-runs the
+    # whole signature pipeline
+    banded = banded.localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "sig_h").agg(F.count(F.lit(1)).alias("bsz"))
+        banded = banded.join(sizes, ["band", "sig_h"]).withColumn(
+            "sub",
+            F.when(F.col("bsz") <= max_bucket_size, F.lit(0)).otherwise(
+                F.pmod(
+                    F.col("fsig"),
+                    F.ceil(F.col("bsz") / F.lit(max_bucket_size)).cast("long"),
+                )
+            ),
+        )
+    else:
+        banded = banded.withColumn("sub", F.lit(0))
+    left = banded.select(F.col("id").alias("id_a"), "band", "sig_h", "sub")
+    right = banded.select(F.col("id").alias("id_b"), "band", "sig_h", "sub")
+    return (
+        left.join(right, ["band", "sig_h", "sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact verify: Jaccard over true token sets, restricted to candidates.
-    tok = _token_sets(df, id_col, text_col)
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tok.select(F.col("id").alias("id_a"), "token")
-    b = tok.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int | None = 2048,
+) -> DataFrame:
+    """Near-dup pairs: LSH banding for candidates, exact Jaccard verify.
+
+    b=16 × r=4 over k=64 → candidate threshold ≈ (1/16)^(1/4) ≈ 0.5; pairs
+    sharing ≥1 band bucket are verified with the true token-set Jaccard
+    and kept when ≥ threshold. Returns (id_a, id_b, jaccard) rounded 6dp.
+
+    Two scale guards keep candidate generation bounded on degenerate
+    (self-similar) corpora:
+
+    1. **Identical-set collapse (exact).** Documents with the same
+       distinct-token set have Jaccard exactly 1 and identical signatures,
+       so a duplicate group of size m would put m members into EVERY band
+       bucket (m² candidates × b bands). We collapse each distinct token
+       set to one representative, run LSH over representatives only, and
+       expand pairs back through group membership at the end (within-group
+       pairs are emitted directly with jaccard 1.0). No recall loss.
+    2. **Oversize-bucket split** (see ``_banded_candidates``): buckets of
+       *distinct* signatures larger than ``max_bucket_size`` are sub-split
+       by full-signature hash; ``None`` disables.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    # 1. collapse identical token sets (empty-set docs are excluded: their
+    # Jaccard is undefined/0 and the oracle's token table omits them too)
+    toks = F.sort_array(F.array_distinct(tokenize(F.col(text_col))))
+    member = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_ts"))
+        .filter(F.size("_ts") > 0)
+        .select("id", F.xxhash64(F.col("_ts").cast("string")).alias("fp"))
+        .localCheckpoint(eager=True)  # one tokenize pass, reused 3×
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    groups = member.groupBy("fp").agg(F.min("id").alias("rep")).localCheckpoint(eager=True)
+    reps_df = df.join(
+        groups.select(F.col("rep").alias(id_col)), id_col
+    ).localCheckpoint(eager=True)  # feeds signatures AND the verify arrays
+    sigs = minhash_signatures(reps_df, id_col, text_col, num_hashes, seed)
+    cands = _banded_candidates(sigs, bands, r, max_bucket_size)
+    # Exact verify: Jaccard over true token sets, restricted to candidates
+    # (representatives only — one doc per distinct token set). The token
+    # SETS travel as sorted arrays and the intersection is a per-pair
+    # ``array_intersect`` in whole-stage codegen — on a near-identical
+    # corpus the old explode-join emitted Σ|A∩B| ≈ candidates × doc-length
+    # rows through a shuffle agg; this shape emits one row per candidate.
+    # The rep table is one row per DISTINCT token set (small even when the
+    # corpus is huge and duplicate-heavy), so Catalyst broadcasts it.
+    rep_tok = reps_df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokenize(F.col(text_col))).alias("th"),
+    ).select("id", "th", F.size("th").alias("sz"))
+    ja = rep_tok.select(
+        F.col("id").alias("id_a"), F.col("th").alias("th_a"), F.col("sz").alias("sz_a")
+    )
+    jb = rep_tok.select(
+        F.col("id").alias("id_b"), F.col("th").alias("th_b"), F.col("sz").alias("sz_b")
+    )
+    rep_pairs = (
+        cands.join(ja, "id_a")
+        .join(jb, "id_b")
+        # exact necessary condition: j ≤ min(sz)/max(sz) — prune before
+        # the O(|A|+|B|) intersection
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+        )
+        .withColumn("inter", F.size(F.array_intersect("th_a", "th_b")))
         .select(
             "id_a",
             "id_b",
@@ -210,8 +293,31 @@ def minhash_lsh_pairs(
             ).alias("j"),
         )
         .filter(F.col("j") >= threshold)
-        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
     )
+    # 3. expand representative pairs back through group membership
+    m = member.join(groups, "fp")  # (id, fp, rep)
+    ma = m.select(F.col("rep").alias("id_a"), F.col("id").alias("ga"))
+    mb = m.select(F.col("rep").alias("id_b"), F.col("id").alias("gb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("ga", "gb").alias("id_a"),
+            F.greatest("ga", "gb").alias("id_b"),
+            "j",
+        )
+    )
+    x, y = m.alias("x"), m.alias("y")
+    within = (
+        x.join(y, (F.col("x.fp") == F.col("y.fp")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("j"),
+        )
+    )
+    out = cross.unionByName(within) if threshold <= 1.0 else cross
+    return out.select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
 
 
 def simhash(

@@ -112,6 +112,45 @@ class TestDedup:
         assert got <= want
         assert (0, 1) in got and (0, 2) in got
 
+    def test_minhash_degenerate_identical_corpus_is_bounded(self, spark):
+        # 300 identical docs + 2 distinct: the identical-set collapse must
+        # reduce LSH to 3 representatives (ZERO giant-bucket self-join) and
+        # still emit every within-group pair at jaccard 1.0.
+        rows = [(i, "all these documents are byte for byte the same text") for i in range(300)]
+        rows += [(300, "a fully unrelated document about spark shuffles"),
+                 (301, "another unrelated text concerning arrow buffers")]
+        corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = dedup.minhash_lsh_pairs(corpus, 0.9).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+        assert len(pairs) == 300 * 299 // 2
+        assert all(v == 1.0 for v in pairs.values())
+        # candidate generation over representatives is empty (3 distinct
+        # sets, no band collisions between unrelated texts)
+        sigs = dedup.minhash_signatures(
+            corpus.join(
+                spark.createDataFrame([(0,), (300,), (301,)], ["doc_id"]), "doc_id"
+            )
+        )
+        cands = dedup._banded_candidates(sigs, bands=16, r=4, max_bucket_size=2048)
+        assert cands.count() == 0
+
+    def test_oversize_bucket_split_keeps_identical_signatures_together(self, spark):
+        # force one giant bucket: 64 ids sharing one signature A, 64 sharing
+        # B (A≠B). With a cap of 8 the bucket splits, but signature-identical
+        # members always land in the same sub-bucket, so all A-A and B-B
+        # pairs survive as candidates.
+        sig_a = [1] * 64
+        sig_b = [2] * 64
+        rows = [(i, sig_a) for i in range(64)] + [(100 + i, sig_b) for i in range(64)]
+        sigs = spark.createDataFrame(rows, ["id", "sig"])
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup._banded_candidates(sigs, bands=16, r=4, max_bucket_size=8).collect()
+        }
+        same_a = {(i, j) for i in range(64) for j in range(64) if i < j}
+        same_b = {(100 + i, 100 + j) for i in range(64) for j in range(64) if i < j}
+        assert same_a <= got and same_b <= got
+
     def test_max_df_guard_drops_hot_tokens(self, docs):
         full = dedup.ngram_jaccard_pairs(docs, 0.5).count()
         cut = dedup.ngram_jaccard_pairs(docs, 0.5, max_df=2).count()
