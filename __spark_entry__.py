@@ -356,6 +356,55 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sp_source_target(spark: SparkSession, sf_dir: str):
+    """(graph, tree, source, target) shared by the source-target path
+    queries: source = min node id, target = max node id reached from it
+    (deterministic, guaranteed-reachable)."""
+    from graph_data_science_spark.algorithms.paths import single_source_paths
+    from graph_data_science_spark.projection import project
+
+    e = _edges(spark, sf_dir)
+    src = e.select(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0]["s"]
+    g = project(e, name="entry_spt")
+    sp = single_source_paths(g, src, weighted=True, max_iterations=BF_ROUNDS)
+    tgt = sp.distances.join(g.nodes, "vid").agg(F.max("orig_id")).collect()[0][0]
+    return g, sp, src, tgt
+
+
+def q_shortest_path_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-target weighted shortest path WITH path reconstruction
+    (reference ``gds.shortestPath.dijkstra`` stream shape): one row
+    (source, target, total_cost, path). The path is the deterministic
+    min-pred tree walk, which the oracle states as
+    pred(v) = min u with dist(u) + w(u,v) = dist(v)."""
+    from graph_data_science_spark.algorithms.paths import path_to
+
+    g, sp, src, tgt = _sp_source_target(spark, sf_dir)
+    row = path_to(g, sp, src, tgt)
+    return row.select(
+        "source",
+        "target",
+        F.round("total_cost", 6).alias("total_cost"),
+        F.concat_ws("->", F.transform("node_ids", lambda x: x.cast("string"))).alias("path"),
+    )
+
+
+def q_yens_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yen's K-shortest loopless paths (K=3) for the same deterministic
+    (source, target) pair. Rows-only: the spur-filtered re-relaxations
+    have no tractable SQL twin; costs/paths are pinned against an
+    exhaustive simple-path-enumeration oracle in tests."""
+    from graph_data_science_spark.algorithms.paths import yens_k_shortest
+
+    g, _sp, src, tgt = _sp_source_target(spark, sf_dir)
+    out = yens_k_shortest(g, src, tgt, k=3, weighted=True, max_iterations=BF_ROUNDS)
+    return out.select(
+        "index",
+        F.round("total_cost", 6).alias("total_cost"),
+        F.concat_ws("->", F.transform("node_ids", lambda x: x.cast("string"))).alias("path"),
+    )
+
+
 def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard node similarity over out-neighbor sets (all passing pairs)."""
     from graph_data_science_spark.algorithms.node_similarity import node_similarity
@@ -670,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "bfs": q_bfs,
         "sssp": q_sssp,
+        "shortest_path_target": q_shortest_path_target,
+        "yens_k": q_yens_k,
         "node_similarity": q_node_similarity,
         "article_rank": q_article_rank,
         "eigenvector": q_eigenvector,
@@ -790,6 +841,61 @@ def _relax_oracle(weighted: bool) -> str:
         else f"\nSELECT node_id, round(dist, 6) AS distance FROM d{BF_ROUNDS} WHERE dist < {_INF}"
     )
     parts.append(final)
+    return "".join(parts)
+
+
+def _shortest_path_oracle() -> str:
+    """Source-target path twin: unrolled weighted Bellman-Ford for the
+    distances, then pred(v) = min u with dist(u)+w = dist(v) and a
+    recursive walk from target building the path array (exact: weights are
+    integer counts, so the double arithmetic is exact on both sides)."""
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + f"""
+, src AS (SELECT min(node_id) AS s FROM nodes)
+, d0 AS (
+    SELECT node_id,
+           CASE WHEN node_id = (SELECT s FROM src) THEN 0.0 ELSE {_INF} END AS dist
+    FROM nodes
+)"""
+    ]
+    for i in range(BF_ROUNDS):
+        parts.append(
+            f""", d{i + 1} AS MATERIALIZED (
+    SELECT n.node_id, least(n.dist, coalesce(m.best, {_INF})) AS dist
+    FROM d{i} n LEFT JOIN (
+        SELECT e.dst AS node_id, min(d.dist + e.weight) AS best
+        FROM edges e JOIN d{i} d ON d.node_id = e.src AND d.dist < {_INF}
+        GROUP BY e.dst
+    ) m ON m.node_id = n.node_id
+)"""
+        )
+    parts.append(
+        f"""
+, reach AS MATERIALIZED (SELECT node_id, dist FROM d{BF_ROUNDS} WHERE dist < {_INF})
+, tgt AS (SELECT max(node_id) AS t FROM reach)
+, pred AS MATERIALIZED (
+    SELECT e.dst AS v, min(e.src) AS u
+    FROM edges e
+    JOIN reach a ON a.node_id = e.src
+    JOIN reach b ON b.node_id = e.dst
+    WHERE a.dist + e.weight = b.dist
+    GROUP BY e.dst
+)
+, walk AS (
+    SELECT t AS v, [t] AS p FROM tgt
+    UNION ALL
+    SELECT pred.u, list_prepend(pred.u, walk.p)
+    FROM walk JOIN pred ON pred.v = walk.v
+    WHERE walk.v <> (SELECT s FROM src)
+)
+SELECT (SELECT s FROM src) AS source,
+       (SELECT t FROM tgt) AS target,
+       round((SELECT dist FROM reach WHERE node_id = (SELECT t FROM tgt)), 6) AS total_cost,
+       array_to_string((SELECT p FROM walk WHERE v = (SELECT s FROM src)), '->') AS path
+"""
+    )
     return "".join(parts)
 
 
@@ -1198,6 +1304,7 @@ FROM per_src FULL OUTER JOIN per_dst USING (community)
         "modularity": _MODULARITY_ORACLE,
         "bfs": _relax_oracle(weighted=False),
         "sssp": _relax_oracle(weighted=True),
+        "shortest_path_target": _shortest_path_oracle(),
         "node_similarity": _NODE_SIM_ORACLE,
         "article_rank": _article_rank_oracle(),
         "eigenvector": _eigenvector_oracle(),

@@ -48,19 +48,41 @@ def _source_vids(graph: ProjectedGraph, sources) -> DataFrame:
     return graph.nodes.join(F.broadcast(src_df), "orig_id").select("vid")
 
 
+def _exclusion_cond(excluded_nodes, excluded_edges, src_col: str, dst_col: str):
+    """Column condition matching excluded edges/endpoints, or None.
+    Exclusion sets are tiny (Yen's spur roots), so literal isin/OR chains
+    stay broadcast-free expressions — no plan rebuild per spur run."""
+    cond = None
+    if excluded_nodes:
+        ns = [int(n) for n in excluded_nodes]
+        cond = F.col(src_col).isin(ns) | F.col(dst_col).isin(ns)
+    for u, v in sorted(excluded_edges or []):
+        c = (F.col(src_col) == int(u)) & (F.col(dst_col) == int(v))
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 def _relax(
     graph: ProjectedGraph,
     sources,
     weighted: bool,
     max_iterations: int,
     edge_plan: EdgePlan | None = None,
+    sources_are_vids: bool = False,
+    excluded_nodes=None,
+    excluded_edges=None,
 ) -> PathResult:
-    if weighted:
+    if weighted and edge_plan is None:
         neg = graph.edges.filter(F.col("weight") < 0).limit(1).count()
         if neg:
             raise ValueError("sssp requires non-negative edge weights")
     plan = edge_plan or EdgePlan(graph.edges)
-    srcs = _source_vids(graph, sources)
+    if sources_are_vids:
+        srcs = graph.nodes.sparkSession.createDataFrame(
+            [(int(s),) for s in sources], "vid long"
+        )
+    else:
+        srcs = _source_vids(graph, sources)
     init = (
         graph.nodes.select("vid")
         .join(srcs.withColumn("_s", F.lit(1)), "vid", "left")
@@ -71,12 +93,17 @@ def _relax(
         )
     )
     step_w = F.col("weight") if weighted else F.lit(1.0)
+    # Masked edges send +inf (never improves) — this reuses ONE shared
+    # EdgePlan across Yen's spur runs instead of re-partitioning and
+    # re-persisting a filtered edge table per spur.
+    excl = _exclusion_cond(excluded_nodes, excluded_edges, "_src", "_dst")
+    m_expr = F.col("dist") + step_w
+    if excl is not None:
+        m_expr = F.when(excl, F.lit(_INF)).otherwise(m_expr)
 
     def step(state: DataFrame, i: int) -> DataFrame:
         frontier = state.filter(F.col("changed") == 1).select("vid", "dist")
-        msgs = plan.messages(
-            frontier, {"m": F.col("dist") + step_w}, {"m": F.min("m")}
-        )
+        msgs = plan.messages(frontier, {"m": m_expr}, {"m": F.min("m")})
         better = F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist")))
         return state.join(msgs, "vid", "left").select(
             "vid",
@@ -120,6 +147,300 @@ def sssp(
 ) -> PathResult:
     """Weighted shortest-path distance from the source set → (vid, distance)."""
     return _relax(graph, sources, weighted=True, max_iterations=max_iterations, edge_plan=edge_plan)
+
+
+# ------------------------------------------------- source-target queries --
+
+@dataclass
+class SingleSourcePaths:
+    distances: DataFrame  # (vid, distance) — reached nodes only
+    predecessors: DataFrame  # (vid, pred) — deterministic min-pred tree
+    iterations: int
+
+
+def single_source_paths(
+    graph: ProjectedGraph,
+    source,
+    weighted: bool = True,
+    max_iterations: int = 1000,
+    sources_are_vids: bool = False,
+    edge_plan: EdgePlan | None = None,
+    excluded_nodes=None,
+    excluded_edges=None,
+) -> SingleSourcePaths:
+    """Shortest-path tree from ``source`` (the reference's Dijkstra
+    source-target family needs paths, not just distances — SURVEY.md §2.D
+    Path): distances plus a deterministic predecessor per reached node.
+
+    Predecessors are NOT tracked during relaxation: the pred captured when
+    a distance last improves depends on which superstep a message arrives
+    in, which is neither deterministic across plans nor SQL-expressible.
+    Instead ONE post-pass join recomputes ``pred(v) = min u`` with
+    ``dist(u) + w(u,v) = dist(v)`` — the same argmin rule a SQL oracle can
+    state. Exact for integer-valued weights (doubles are exact there); for
+    general float weights the equality is still consistent engine-side
+    because both sides replay identical additions.
+    """
+    res = _relax(
+        graph,
+        [source],
+        weighted,
+        max_iterations,
+        edge_plan=edge_plan,
+        sources_are_vids=sources_are_vids,
+        excluded_nodes=excluded_nodes,
+        excluded_edges=excluded_edges,
+    )
+    edges = graph.edges
+    excl = _exclusion_cond(excluded_nodes, excluded_edges, "src", "dst")
+    if excl is not None:
+        edges = edges.filter(~excl)
+    step_w = F.col("weight") if weighted else F.lit(1.0)
+    dists = res.distances.localCheckpoint(eager=True)
+    du = dists.select(F.col("vid").alias("src"), F.col("distance").alias("_du"))
+    dv = dists.select(F.col("vid").alias("dst"), F.col("distance").alias("_dv"))
+    preds = (
+        edges.join(du, "src")
+        .join(dv, "dst")
+        .filter(F.col("_du") + step_w == F.col("_dv"))
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.min("src").alias("pred"))
+        .localCheckpoint(eager=True)
+    )
+    return SingleSourcePaths(distances=dists, predecessors=preds, iterations=res.iterations)
+
+
+_PRED_COLLECT_THRESHOLD = 200_000
+
+
+def _pred_map_or_none(preds: DataFrame) -> dict | None:
+    """Collect the pred tree driver-side when small (walks become free);
+    a huge tree stays distributed and the walk does per-hop lookups."""
+    if preds.count() > _PRED_COLLECT_THRESHOLD:
+        return None
+    return {int(r["vid"]): int(r["pred"]) for r in preds.collect()}
+
+
+def _walk_back(
+    preds: DataFrame,
+    source_vid: int,
+    target_vid: int,
+    max_len: int,
+    pred_map: dict | None = None,
+) -> list[int] | None:
+    """Follow the predecessor tree target → source; returns the vid path
+    source-first, or None if the chain breaks (unreached). With a
+    driver-collected ``pred_map`` the walk is free; otherwise O(path
+    length) one-row lookups on a checkpointed table — a point query, like
+    the reference's path streaming."""
+    chain = [int(target_vid)]
+    cur = int(target_vid)
+    while cur != int(source_vid):
+        if pred_map is not None:
+            if cur not in pred_map:
+                return None
+            cur = pred_map[cur]
+        else:
+            row = preds.filter(F.col("vid") == cur).collect()
+            if not row:
+                return None
+            cur = int(row[0]["pred"])
+        chain.append(cur)
+        if len(chain) > max_len:
+            raise ValueError("predecessor chain exceeded the node count")
+    chain.reverse()
+    return chain
+
+
+def _vids_to_orig(graph: ProjectedGraph, vids: list[int]) -> list[int]:
+    m = {
+        r["vid"]: r["orig_id"]
+        for r in graph.nodes.filter(
+            F.col("vid").isin([int(v) for v in set(vids)])
+        ).collect()
+    }
+    return [m[int(v)] for v in vids]
+
+
+def _sp_schema(graph: ProjectedGraph):
+    """Result schema follows the graph's original id type."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    t = graph.nodes.schema["orig_id"].dataType
+    return StructType(
+        [
+            StructField("source", t),
+            StructField("target", t),
+            StructField("total_cost", DoubleType()),
+            StructField("node_ids", ArrayType(t)),
+        ]
+    )
+
+
+def _yens_schema(graph: ProjectedGraph):
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    t = graph.nodes.schema["orig_id"].dataType
+    return StructType(
+        [
+            StructField("index", IntegerType()),
+            StructField("total_cost", DoubleType()),
+            StructField("node_ids", ArrayType(t)),
+        ]
+    )
+
+
+def path_to(
+    graph: ProjectedGraph, sp: SingleSourcePaths, source, target
+) -> DataFrame:
+    """Reconstruct the path to ``target`` from an existing shortest-path
+    tree: one row (source, target, total_cost, node_ids in original ids);
+    empty DataFrame when unreachable. Reuse this to stream many targets
+    off ONE ``single_source_paths`` run."""
+    spark = graph.nodes.sparkSession
+    trow = graph.nodes.filter(F.col("orig_id") == target).collect()
+    srow = graph.nodes.filter(F.col("orig_id") == source).collect()
+    if not trow or not srow:
+        return spark.createDataFrame([], _sp_schema(graph))
+    svid, tvid = srow[0]["vid"], trow[0]["vid"]
+    drow = sp.distances.filter(F.col("vid") == tvid).collect()
+    if not drow:
+        return spark.createDataFrame([], _sp_schema(graph))
+    chain = _walk_back(
+        sp.predecessors, svid, tvid, graph.node_count + 1,
+        pred_map=_pred_map_or_none(sp.predecessors),
+    )
+    if chain is None:
+        return spark.createDataFrame([], _sp_schema(graph))
+    return spark.createDataFrame(
+        [(source, target, float(drow[0]["distance"]), _vids_to_orig(graph, chain))],
+        _sp_schema(graph),
+    )
+
+
+def shortest_path(
+    graph: ProjectedGraph,
+    source,
+    target,
+    weighted: bool = True,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """Source-target shortest path with path reconstruction (reference
+    ``gds.shortestPath.dijkstra``): one row (source, target, total_cost,
+    node_ids in original ids); empty DataFrame when unreachable."""
+    sp = single_source_paths(graph, source, weighted, max_iterations)
+    return path_to(graph, sp, source, target)
+
+
+def yens_k_shortest(
+    graph: ProjectedGraph,
+    source,
+    target,
+    k: int = 3,
+    weighted: bool = True,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """K loopless shortest paths (Yen's algorithm — reference
+    ``gds.shortestPath.yens``) → (index, total_cost, node_ids) rows,
+    deterministic: spur relaxations use the min-pred tree rule and
+    candidates are ordered by (cost, path lexicographic).
+
+    Driver-orchestrated point query: O(K·|path|) spur relaxations, each a
+    BSP relax over the filtered edge set — the same repeated-bounded-
+    Dijkstra shape the reference uses, with the per-run work distributed.
+    """
+    spark = graph.nodes.sparkSession
+    schema = _yens_schema(graph)
+    srow = graph.nodes.filter(F.col("orig_id") == source).collect()
+    trow = graph.nodes.filter(F.col("orig_id") == target).collect()
+    if not srow or not trow:
+        return spark.createDataFrame([], schema)
+    svid, tvid = int(srow[0]["vid"]), int(trow[0]["vid"])
+    base = graph.edges.select("src", "dst", "weight").localCheckpoint(eager=True)
+    # ONE shared edge plan for the initial run and every spur run — the
+    # spur exclusions are expression-level masks, not new edge tables
+    plan = EdgePlan(base)
+
+    def _cum_costs(p: list[int]) -> list[float]:
+        pairs = list(zip(p, p[1:]))
+        if not pairs:
+            return [0.0]
+        cond = None
+        for u, v in pairs:
+            c = (F.col("src") == u) & (F.col("dst") == v)
+            cond = c if cond is None else (cond | c)
+        wmap = {
+            (r["src"], r["dst"]): (float(r["weight"]) if weighted else 1.0)
+            for r in base.filter(cond).collect()
+        }
+        cum = [0.0]
+        for u, v in pairs:
+            cum.append(cum[-1] + wmap[(u, v)])
+        return cum
+
+    sp = single_source_paths(
+        graph, source, weighted, max_iterations, edge_plan=plan
+    )
+    drow = sp.distances.filter(F.col("vid") == tvid).collect()
+    if not drow:
+        plan.unpersist()
+        return spark.createDataFrame([], schema)
+    p0 = _walk_back(
+        sp.predecessors, svid, tvid, graph.node_count + 1,
+        pred_map=_pred_map_or_none(sp.predecessors),
+    )
+    cums: dict[tuple, list[float]] = {tuple(p0): _cum_costs(p0)}
+    A: list[tuple[float, list[int]]] = [(cums[tuple(p0)][-1], p0)]
+    B: list[tuple[float, list[int]]] = []
+    for _ki in range(1, k):
+        prev = A[-1][1]
+        cum_prev = cums[tuple(prev)]
+        for i in range(len(prev) - 1):
+            spur = prev[i]
+            root = prev[: i + 1]
+            root_cost = cum_prev[i]
+            removed_edges = {
+                (p[i], p[i + 1])
+                for _c, p in A
+                if len(p) > i + 1 and p[: i + 1] == root
+            }
+            removed_nodes = [int(x) for x in root[:-1]]
+            spd = single_source_paths(
+                graph, spur, weighted, max_iterations,
+                sources_are_vids=True, edge_plan=plan,
+                excluded_nodes=removed_nodes, excluded_edges=removed_edges,
+            )
+            srow2 = spd.distances.filter(F.col("vid") == tvid).collect()
+            if not srow2:
+                continue
+            spath = _walk_back(
+                spd.predecessors, spur, tvid, graph.node_count + 1,
+                pred_map=_pred_map_or_none(spd.predecessors),
+            )
+            if spath is None:
+                continue
+            cand = root[:-1] + spath
+            total = root_cost + float(srow2[0]["distance"])
+            if cand in [p for _c, p in A] or (total, cand) in B:
+                continue
+            B.append((total, cand))
+        if not B:
+            break
+        B.sort(key=lambda t: (t[0], t[1]))
+        best = B.pop(0)
+        A.append(best)
+        cums[tuple(best[1])] = _cum_costs(best[1])
+    plan.unpersist()
+    rows = [
+        (i, float(c), _vids_to_orig(graph, p)) for i, (c, p) in enumerate(A)
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 def all_pairs_hops(

@@ -431,3 +431,73 @@ def closeness_oracle(nodes: list, edges: list[tuple]) -> tuple[dict, dict]:
         close[s] = (len(reached) / sum(reached)) if reached else 0.0
         harm[s] = sum(1.0 / d for d in reached) / (n - 1) if n > 1 else 0.0
     return close, harm
+
+
+def dijkstra_path_oracle(nodes: list, edges: list[tuple], source, target):
+    """(cost, path) with the engine's determinism: Dijkstra distances,
+    then pred(v) = the sort-order-minimal u with dist(u)+w(u,v)=dist(v),
+    walked back from target. None when unreachable."""
+    import heapq
+
+    adj: dict = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {source: 0.0}
+    pq = [(0.0, 0, source)]
+    tie = 0
+    while pq:
+        dc, _t, u = heapq.heappop(pq)
+        if dc > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = dc + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                tie += 1
+                heapq.heappush(pq, (nd, tie, v))
+    if target not in dist:
+        return None
+    order = {n: i for i, n in enumerate(sorted(nodes))}
+    path = [target]
+    cur = target
+    while cur != source:
+        preds = [
+            s
+            for s, d, w in edges
+            if d == cur and s in dist and abs(dist[s] + w - dist[cur]) < 1e-12
+        ]
+        cur = min(preds, key=lambda x: order[x])
+        path.append(cur)
+    return dist[target], list(reversed(path))
+
+
+def simple_paths_oracle(
+    nodes: list, edges: list[tuple], source, target, k: int, cost_limit=None
+):
+    """The k smallest loopless (simple) paths by exhaustive DFS
+    enumeration — fully independent of Yen's algorithm. Returns
+    [(cost, path)] sorted by (cost, path). ``cost_limit`` prunes partial
+    paths above it (sound when the caller knows the k-th best cost — keeps
+    the enumeration polynomial on dense graphs)."""
+    adj: dict = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    results: list = []
+
+    def dfs(u, cost, path, visited):
+        if cost_limit is not None and cost > cost_limit:
+            return
+        if u == target:
+            results.append((cost, list(path)))
+            return
+        for v, w in sorted(adj.get(u, [])):
+            if v not in visited:
+                visited.add(v)
+                path.append(v)
+                dfs(v, cost + w, path, visited)
+                path.pop()
+                visited.remove(v)
+
+    dfs(source, 0.0, [source], {source})
+    results.sort(key=lambda t: (t[0], t[1]))
+    return results[:k]

@@ -10,6 +10,7 @@ from graph_data_science_spark.algorithms.centrality import article_rank, eigenve
 from graph_data_science_spark.algorithms.kcore import k_core
 from graph_data_science_spark.algorithms.node_similarity import node_similarity
 from graph_data_science_spark.algorithms.paths import bfs, sssp
+from graph_data_science_spark.algorithms import paths as paths_mod
 from graph_data_science_spark.projection import project
 
 from tests import fixtures, oracles
@@ -154,3 +155,76 @@ class TestEigenFamily:
         want_a, want_h = oracles.hits_oracle(nodes, edges, max_iterations=10)
         assert all(abs(got_a[k] - want_a[k]) < 1e-6 for k in want_a)
         assert all(abs(got_h[k] - want_h[k]) < 1e-6 for k in want_h)
+
+
+class TestTargetPaths:
+    def test_shortest_path_chain(self, spark):
+        nodes, edges = fixtures.chain()
+        g = _project(spark, nodes, edges)
+        row = paths_mod.shortest_path(g, "a", "d").collect()
+        assert len(row) == 1
+        assert list(row[0]["node_ids"]) == ["a", "b", "c", "d"]
+        assert row[0]["total_cost"] == 3.0
+
+    def test_shortest_path_unreachable_is_empty(self, spark):
+        nodes, edges = fixtures.chain()
+        g = _project(spark, nodes, edges)
+        assert paths_mod.shortest_path(g, "d", "a").count() == 0
+
+    def test_shortest_path_matches_oracle_random(self, spark, random_graph):
+        nodes, edges = random_graph
+        g = _project(spark, nodes, edges)
+        src = nodes[0]
+        reached = oracles.bfs_oracle(nodes, edges, [src])
+        tgt = max(reached)
+        row = paths_mod.shortest_path(g, src, tgt).collect()[0]
+        cost, path = oracles.dijkstra_path_oracle(nodes, edges, src, tgt)
+        assert row["total_cost"] == cost
+        assert list(row["node_ids"]) == path
+
+    def test_yens_unique_cost_graph_matches_enumeration(self, spark):
+        nodes = list("abcde")
+        edges = [
+            ("a", "b", 1.0), ("b", "e", 1.0),
+            ("a", "c", 2.0), ("c", "e", 1.5),
+            ("a", "d", 3.0), ("d", "e", 2.0),
+            ("b", "c", 0.25),
+        ]
+        g = _project(spark, nodes, edges)
+        got = [
+            (r["total_cost"], list(r["node_ids"]))
+            for r in paths_mod.yens_k_shortest(g, "a", "e", k=3).orderBy("index").collect()
+        ]
+        want = oracles.simple_paths_oracle(nodes, edges, "a", "e", 3)
+        assert got == want
+
+    def test_yens_paths_are_valid_loopless_and_sorted(self, spark, random_graph):
+        nodes, edges = random_graph
+        g = _project(spark, nodes, edges)
+        src = nodes[0]
+        tgt = max(oracles.bfs_oracle(nodes, edges, [src]))
+        rows = paths_mod.yens_k_shortest(g, src, tgt, k=3).orderBy("index").collect()
+        eset = {(s, d) for s, d, _w in edges}
+        seen_paths = set()
+        costs = []
+        for r in rows:
+            p = list(r["node_ids"])
+            assert p[0] == src and p[-1] == tgt
+            assert len(set(p)) == len(p)  # loopless
+            assert all((u, v) in eset for u, v in zip(p, p[1:]))
+            assert tuple(p) not in seen_paths
+            seen_paths.add(tuple(p))
+            costs.append(r["total_cost"])
+        assert costs == sorted(costs)
+        # the first path is the true shortest
+        c0, _p0 = oracles.dijkstra_path_oracle(nodes, edges, src, tgt)
+        assert costs[0] == c0
+        # costs are the k smallest loopless costs (enumeration pruned at
+        # the max returned cost — sound, and polynomial on dense graphs)
+        want = [
+            c
+            for c, _p in oracles.simple_paths_oracle(
+                nodes, edges, src, tgt, len(costs), cost_limit=max(costs)
+            )
+        ]
+        assert costs == want
