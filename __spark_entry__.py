@@ -619,6 +619,25 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLOSE_K = 8  # pivot count for the sampled-closeness scale path
+
+
+def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled closeness (the 100-TB path: O(k·n) pair state instead
+    of O(n·reach)): deterministic pivots = the CLOSE_K smallest node ids,
+    ĉ(v) = reached-pivots / Σ d(pivot, v), ĥ(v) = Σ 1/d / k."""
+    from graph_data_science_spark.algorithms.paths import closeness
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_close_s")
+    out = closeness(g, max_iterations=BF_ROUNDS, sample_sources=CLOSE_K)
+    return out.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"),
+        F.round("closeness", 6).alias("closeness"),
+        F.round("harmonic", 6).alias("harmonic"),
+    )
+
+
 def q_scale_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``gds.scaleProperties`` analogue: minmax + stdscore over the
     out-degree property, one aggregate pass."""
@@ -736,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_properties": q_scale_properties,
         "conductance": q_conductance,
         "closeness": q_closeness,
+        "closeness_sampled": q_closeness_sampled,
         "kmeans": q_kmeans,
         "dag_levels": q_dag_levels,
     }
@@ -1074,6 +1094,47 @@ FROM nodes n2 LEFT JOIN agg a ON a.src = n2.node_id, nn
     return "".join(parts)
 
 
+def _closeness_sampled_oracle() -> str:
+    """Pivot-restricted all-pairs BF (pivots = CLOSE_K smallest node ids),
+    aggregated per NODE over pivot distances into it."""
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + f"""
+, piv AS MATERIALIZED (SELECT node_id FROM nodes ORDER BY node_id LIMIT {CLOSE_K})
+, ap0 AS MATERIALIZED (
+    SELECT s.node_id AS src, n.node_id AS node,
+           CASE WHEN s.node_id = n.node_id THEN 0.0 ELSE {_INF} END AS dist
+    FROM piv s, nodes n
+)"""
+    ]
+    for i in range(BF_ROUNDS):
+        parts.append(
+            f""", ap{i + 1} AS MATERIALIZED (
+    SELECT p.src, p.node, least(p.dist, coalesce(m.best, {_INF})) AS dist
+    FROM ap{i} p LEFT JOIN (
+        SELECT d.src, e.dst AS node, min(d.dist + 1) AS best
+        FROM edges e JOIN ap{i} d ON d.node = e.src AND d.dist < {_INF}
+        GROUP BY d.src, e.dst
+    ) m ON m.src = p.src AND m.node = p.node
+)"""
+        )
+    parts.append(
+        f"""
+, agg AS (
+    SELECT node, count(*) AS p_r, sum(dist) AS sum_d, sum(1.0 / dist) AS sum_inv
+    FROM ap{BF_ROUNDS} WHERE dist > 0 AND dist < {_INF}
+    GROUP BY node
+)
+SELECT n2.node_id,
+       round(coalesce(a.p_r / a.sum_d, 0.0), 6) AS closeness,
+       round(coalesce(a.sum_inv / {CLOSE_K}, 0.0), 6) AS harmonic
+FROM nodes n2 LEFT JOIN agg a ON a.node = n2.node_id
+"""
+    )
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -1267,6 +1328,7 @@ FROM edges WHERE weight >= 2
 GROUP BY src
 """,
         "closeness": _closeness_oracle(),
+        "closeness_sampled": _closeness_sampled_oracle(),
         "dag_levels": _dag_oracle(),
         "scale_properties": _EDGES_CTE + """
 , deg AS MATERIALIZED (

@@ -486,27 +486,55 @@ def closeness(
     graph: ProjectedGraph,
     wasserman_faust: bool = False,
     max_iterations: int = 1000,
+    sample_sources: int | None = None,
 ) -> DataFrame:
     """Closeness centrality (reference ``gds.closeness``) via multi-source
     BFS: c(v) = (r−1) / Σ_u d(v,u) over the r nodes v reaches along
     out-edges; the Wasserman-Faust variant multiplies by (r−1)/(n−1).
     → (vid, closeness, harmonic): harmonic c_h(v) = Σ 1/d / (n−1) comes
     free from the same pair table. (Run on ``graph.to_undirected()`` or a
-    REVERSE projection for undirected / in-distance variants.)"""
-    pairs = all_pairs_hops(graph, max_iterations=max_iterations)
-    n = max(graph.node_count, 1)
-    per = pairs.filter(F.col("hops") > 0).groupBy("src").agg(
-        F.count(F.lit(1)).alias("r1"),  # reached minus self
-        F.sum("hops").alias("sum_d"),
-        F.sum(1.0 / F.col("hops")).alias("sum_inv"),
-    )
-    base = F.col("r1") / F.col("sum_d")
-    c = base * ((F.col("r1")) / F.lit(float(n - 1))) if wasserman_faust else base
-    out = per.select(
-        F.col("src").alias("vid"),
-        c.alias("closeness"),
-        (F.col("sum_inv") / F.lit(float(n - 1))).alias("harmonic"),
-    )
+    REVERSE projection for undirected / in-distance variants.)
+
+    ``sample_sources=None`` is the exact mode: pair state is O(n · reach)
+    — a scale-killer on a connected 100-TB graph; it exists for parity and
+    small/medium graphs. At scale pass ``sample_sources=k``: the k
+    smallest vids become deterministic pivots (Eppstein–Wang style, but
+    deterministic for the resume/oracle story), BFS runs from the pivots
+    only — O(k·n) pair state — and every node v is scored from the pivot
+    distances INTO it: ĉ(v) = |P_v| / Σ_{p∈P_v} d(p,v) (the inverse mean
+    pivot distance; exact closeness under pivot-set = all and a symmetric
+    graph), ĥ(v) = Σ_p 1/d(p,v) / k. Wasserman-Faust applies to the exact
+    mode only.
+    """
+    if sample_sources is not None:
+        k = min(sample_sources, graph.node_count)
+        pivots = graph.nodes.select("vid").filter(F.col("vid") < k)
+        pairs = all_pairs_hops(graph, sources=pivots, max_iterations=max_iterations)
+        per = pairs.filter(F.col("hops") > 0).groupBy("vid").agg(
+            F.count(F.lit(1)).alias("p_r"),
+            F.sum("hops").alias("sum_d"),
+            F.sum(1.0 / F.col("hops")).alias("sum_inv"),
+        )
+        out = per.select(
+            "vid",
+            (F.col("p_r") / F.col("sum_d")).alias("closeness"),
+            (F.col("sum_inv") / F.lit(float(k))).alias("harmonic"),
+        )
+    else:
+        pairs = all_pairs_hops(graph, max_iterations=max_iterations)
+        n = max(graph.node_count, 1)
+        per = pairs.filter(F.col("hops") > 0).groupBy("src").agg(
+            F.count(F.lit(1)).alias("r1"),  # reached minus self
+            F.sum("hops").alias("sum_d"),
+            F.sum(1.0 / F.col("hops")).alias("sum_inv"),
+        )
+        base = F.col("r1") / F.col("sum_d")
+        c = base * ((F.col("r1")) / F.lit(float(n - 1))) if wasserman_faust else base
+        out = per.select(
+            F.col("src").alias("vid"),
+            c.alias("closeness"),
+            (F.col("sum_inv") / F.lit(float(n - 1))).alias("harmonic"),
+        )
     return (
         graph.nodes.select("vid")
         .join(out, "vid", "left")

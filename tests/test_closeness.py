@@ -46,3 +46,21 @@ def test_wasserman_faust_scales_by_reach(spark):
     plain = {r["vid"]: r["closeness"] for r in closeness(g).collect()}
     wf = {r["vid"]: r["closeness"] for r in closeness(g, wasserman_faust=True).collect()}
     assert all(wf[k] <= plain[k] + 1e-12 for k in plain)
+
+
+def test_sampled_all_pivots_symmetric_equals_exact(spark):
+    # on a symmetric graph with pivots = ALL nodes, the pivot estimate
+    # c(v) = |P_v| / sum d(p, v) reduces to exact closeness (d symmetric)
+    nodes, edges = fixtures.two_triangles_bridge()
+    edges = fixtures.symmetrize(edges)
+    g = _project(spark, nodes, edges)
+    exact = {r["vid"]: (r["closeness"], r["harmonic"]) for r in closeness(g).collect()}
+    # harmonic in sample mode divides by k = n, exact divides by n-1
+    n = g.node_count
+    sampled = {
+        r["vid"]: (r["closeness"], r["harmonic"])
+        for r in closeness(g, sample_sources=n).collect()
+    }
+    for k in exact:
+        assert abs(exact[k][0] - sampled[k][0]) < 1e-9
+        assert abs(exact[k][1] * (n - 1) / n - sampled[k][1]) < 1e-9
