@@ -533,6 +533,22 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden communities (move + connected-refinement + aggregate on the
+    refined partition), min-member canonical ids. Rows-only: modularity
+    optimization has no SQL twin; quality (≥ the 4-clique optimum on the
+    golden ring), connectivity-by-construction, and determinism are
+    pinned in tests/test_louvain.py::TestLeiden."""
+    from graph_data_science_spark.algorithms.leiden import leiden
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_leiden", orientation="UNDIRECTED")
+    res = leiden(g, max_levels=1, max_rounds_per_level=4, refine_rounds=2)
+    return res.communities.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), "community"
+    )
+
+
 def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastRP embeddings (hash-deterministic sparse projections + 2-hop
     propagation). Rows-only: the base projection uses xxhash64 which
@@ -748,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q_pagerank_personalized,
         "modularity": q_modularity,
         "louvain": q_louvain,
+        "leiden": q_leiden,
         "fastrp": q_fastrp,
         "random_walk": q_random_walk,
         "graph_filter": q_graph_filter,

@@ -159,3 +159,64 @@ class TestPersonalizedPageRank:
         assert abs(got["a"] - 0.15) < 1e-9
         # mass decays down the chain, everything reachable is positive
         assert got["a"] > got["b"] > got["c"] > got["d"] > 0
+
+
+class TestLeiden:
+    def _connected(self, members, edge_set):
+        members = set(members)
+        if len(members) <= 1:
+            return True
+        start = next(iter(members))
+        seen, stack = {start}, [start]
+        while stack:
+            u = stack.pop()
+            for a, b in edge_set:
+                v = None
+                if a == u and b in members:
+                    v = b
+                elif b == u and a in members:
+                    v = a
+                if v is not None and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        return seen == members
+
+    def test_ring_of_cliques_quality_and_connectivity(self, spark):
+        from graph_data_science_spark.algorithms.leiden import leiden
+
+        nodes, edges = ring_of_cliques(k=4, size=5)
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        res = leiden(g, max_levels=3, max_rounds_per_level=10, refine_rounds=2)
+        # the known optimum on this fixture (4 cliques) has Q = 0.659 —
+        # louvain reaches it too; assert leiden matches that quality
+        assert res.modularity > 0.65
+        com = _communities_by_orig(g, res.communities)
+        edge_set = {(s, d) for s, d, _w in edges} | {(d, s) for s, d, _w in edges}
+        for c in set(com.values()):
+            assert self._connected([n for n, cc in com.items() if cc == c], edge_set)
+
+    def test_two_triangles_and_determinism(self, spark):
+        from graph_data_science_spark.algorithms.leiden import leiden
+
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        a = _communities_by_orig(g, leiden(g, max_levels=1, max_rounds_per_level=6).communities)
+        b = _communities_by_orig(g, leiden(g, max_levels=1, max_rounds_per_level=6).communities)
+        assert a == b
+        assert a["a"] == a["b"] == a["c"]
+        assert a["d"] == a["e"] == a["f"]
+        assert a["a"] != a["d"]
+
+    def test_random_graph_quality_invariants(self, spark):
+        from graph_data_science_spark.algorithms.leiden import leiden
+
+        nodes, edges = fixtures.gnm(n=40, m=100, seed=21)
+        nodes = [str(n) for n in nodes]
+        edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges})]
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        res = leiden(g, max_levels=1, max_rounds_per_level=4, refine_rounds=2)
+        # beats the singleton baseline and reports the true global Q
+        singletons = modularity(g, g.nodes.select("vid", F.col("vid").alias("community")))
+        assert res.modularity >= singletons - 1e-12
+        recomputed = modularity(g, res.communities)
+        assert abs(res.modularity - recomputed) < 1e-9
