@@ -295,6 +295,26 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=COSINE_T, dim=64, exact=True)
 
 
+NEARDUP_LSH_T = COSINE_T  # the corpus' pair cosines top out at ~0.51
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding near-dup (`exact=False`: hyperplane-LSH
+    bucket blocking, brute force within buckets only), verified against
+    the same exact all-pairs SQL twin. Bits/tables are threshold-matched:
+    at cosine 0.4 (θ ≈ 1.16 rad) a 2-bit table collides with probability
+    0.631² ≈ 0.398, so 32 tables give per-pair miss (1−0.398)³² ≈ 9e-8 —
+    the blocked output equals the exact set, proving the production path,
+    not just its oracle twin. (A tighter threshold at real scale uses more
+    bits per table — e.g. 0.9 → 4 bits × 16 tables at miss 4e-6.)"""
+    from graph_data_science_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    return embedding_neardup_pairs(
+        emb, threshold=NEARDUP_LSH_T, dim=64, n_bits=2, n_tables=32, exact=False
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (rows-only;
     approximate by construction — recall vs brute force is pinned in
@@ -412,6 +432,30 @@ def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = project(_edges(spark, sf_dir), name="entry_nsim")
     pairs = node_similarity(g, top_k=None)
+    m1 = g.nodes.select(F.col("vid").alias("node1"), F.col("orig_id").alias("_n1"))
+    m2 = g.nodes.select(F.col("vid").alias("node2"), F.col("orig_id").alias("_n2"))
+    return (
+        pairs.join(m1, "node1")
+        .join(m2, "node2")
+        .select(
+            F.col("_n1").alias("node1"),
+            F.col("_n2").alias("node2"),
+            F.round("similarity", 6).alias("similarity"),
+        )
+    )
+
+
+def q_node_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered node similarity (reference ``gds.nodeSimilarity.filtered``):
+    sources restricted to node_id % 3 = 0, targets to node_id % 2 = 0 —
+    semi-join filters applied before scoring/top-k."""
+    from graph_data_science_spark.algorithms.node_similarity import node_similarity
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_nsimf")
+    src = g.nodes.filter(F.pmod(F.col("orig_id"), F.lit(3)) == 0).select("vid")
+    tgt = g.nodes.filter(F.pmod(F.col("orig_id"), F.lit(2)) == 0).select("vid")
+    pairs = node_similarity(g, top_k=None, source_nodes=src, target_nodes=tgt)
     m1 = g.nodes.select(F.col("vid").alias("node1"), F.col("orig_id").alias("_n1"))
     m2 = g.nodes.select(F.col("vid").alias("node2"), F.col("orig_id").alias("_n2"))
     return (
@@ -750,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
         "bfs": q_bfs,
@@ -757,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_path_target": q_shortest_path_target,
         "yens_k": q_yens_k,
         "node_similarity": q_node_similarity,
+        "node_similarity_filtered": q_node_similarity_filtered,
         "article_rank": q_article_rank,
         "eigenvector": q_eigenvector,
         "kcore": q_kcore,
@@ -1385,6 +1431,19 @@ FROM per_src FULL OUTER JOIN per_dst USING (community)
         "sssp": _relax_oracle(weighted=True),
         "shortest_path_target": _shortest_path_oracle(),
         "node_similarity": _NODE_SIM_ORACLE,
+        "node_similarity_filtered": _EDGES_CTE + """
+, adj AS (SELECT DISTINCT src, dst FROM edges),
+deg AS (SELECT src, count(*) AS sz FROM adj GROUP BY src),
+it AS (
+    SELECT a.src AS n1, b.src AS n2, count(*) AS i
+    FROM adj a JOIN adj b ON a.dst = b.dst AND a.src <> b.src
+    GROUP BY a.src, b.src
+)
+SELECT n1 AS node1, n2 AS node2,
+       round(i / (d1.sz + d2.sz - i)::DOUBLE, 6) AS similarity
+FROM it JOIN deg d1 ON d1.src = n1 JOIN deg d2 ON d2.src = n2
+WHERE n1 % 3 = 0 AND n2 % 2 = 0
+""",
         "article_rank": _article_rank_oracle(),
         "eigenvector": _eigenvector_oracle(),
         "embedding_neardup": f"""
@@ -1392,6 +1451,12 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COSINE_T}
+""",
+        "embedding_neardup_lsh": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEARDUP_LSH_T}
 """,
         # label_propagation: rows-only (iterative weighted argmax; no SQL twin)
     }

@@ -30,6 +30,8 @@ def node_similarity(
     degree_cutoff: int = 1,
     degree_cutoff_max: int | None = None,
     top_k: int | None = 10,
+    source_nodes: DataFrame | None = None,
+    target_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """→ (node1, node2, similarity) in vid space, node1 ≠ node2; both
     (a,b) and (b,a) emitted when they pass cutoffs (GDS streams directed
@@ -67,6 +69,18 @@ def node_similarity(
     out = joined.select("node1", "node2", sim.alias("similarity")).filter(
         F.col("similarity") >= similarity_cutoff
     )
+    # Filtered variant (reference ``gds.nodeSimilarity.filtered``):
+    # restrict the pair stream to the given source/target vid sets via
+    # semi-joins BEFORE the per-source top-k, so k is taken over the
+    # filtered targets (GDS semantics). Small filter sets broadcast.
+    if source_nodes is not None:
+        out = out.join(
+            source_nodes.select(F.col("vid").alias("node1")), "node1", "semi"
+        )
+    if target_nodes is not None:
+        out = out.join(
+            target_nodes.select(F.col("vid").alias("node2")), "node2", "semi"
+        )
     if top_k is not None:
         w = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
         out = (

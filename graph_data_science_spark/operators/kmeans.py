@@ -35,12 +35,9 @@ class KMeansResult:
 
 
 def _dist2(vec: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    from graph_data_science_spark.functions import euclidean_sq
+
+    return euclidean_sq(vec, F.array(*[F.lit(float(x)) for x in centroid]))
 
 
 def k_means(

@@ -28,20 +28,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _as_double(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+from graph_data_science_spark.functions import dot as _dot  # shared kernels
+from graph_data_science_spark.functions import unit_vector
 
 
 def with_unit_vectors(
@@ -49,10 +37,7 @@ def with_unit_vectors(
 ) -> DataFrame:
     """Normalize to unit L2 norm (zero vectors stay zero). Precomputing
     units turns every cosine into a plain dot product downstream."""
-    v = _as_double(F.col(vec_col))
-    n = _norm(v)
-    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
-    return df.withColumn(out_col, unit)
+    return df.withColumn(out_col, unit_vector(F.col(vec_col)))
 
 
 def cosine_topk_bruteforce(
