@@ -768,6 +768,104 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collapse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``gds.beta.collapsePath`` analogue: 2-hop template over the derived
+    edges → (src, dst, weight = distinct 2-paths), no self loops."""
+    from graph_data_science_spark.operators.collapse import collapse_path
+
+    e = _edges(spark, sf_dir)
+    return collapse_path([e, e])
+
+
+KNN_K = 3
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``gds.knn`` analogue over the embeddings table (exact method — the
+    oracle twin; the LSH method's recall is pinned in tests)."""
+    from graph_data_science_spark.algorithms.knn import knn
+
+    emb = _embeddings(spark, sf_dir)
+    out = knn(emb, k=KNN_K, id_col="vec_id", vec_col="embedding", method="exact")
+    return out.select(
+        "node1", "node2", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-1 coloring on the symmetrized derived graph (rows-only: the
+    fixpoint has no SQL twin; proper-coloring + Δ+1 bound + determinism
+    pinned in tests/test_structure_ops.py)."""
+    from graph_data_science_spark.algorithms.coloring import k1coloring
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_color", orientation="UNDIRECTED")
+    res = k1coloring(g)
+    return res.colors.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), "color"
+    )
+
+
+def q_graph_sample_rwr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``gds.graph.sample.rwr``: deterministic random-walk-with-restart
+    subgraph (~15% of nodes), reported as the sampled nodes with their
+    induced out-degrees. Rows-only (hash-driven sampling has no SQL twin;
+    structure pinned in tests)."""
+    from graph_data_science_spark.algorithms.sampling import sample_rwr
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_rwr")
+    s = sample_rwr(g, sampling_ratio=0.15, n_walks=16)
+    deg = s.edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    return (
+        s.nodes.join(deg, s.nodes["vid"] == deg["src"], "left")
+        .join(g.nodes, "vid")
+        .select(
+            F.col("orig_id").alias("node_id"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        )
+    )
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node2Vec biased walks (p=0.5, q=2.0 — inward-biased), 1 walk/node
+    × 4 steps. Rows-only (deterministic-hash sampling has no SQL twin;
+    edge-validity/determinism/bias pinned in tests)."""
+    from graph_data_science_spark.algorithms.randomwalk import node2vec_walks
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_n2v")
+    res = node2vec_walks(
+        g, walks_per_node=1, walk_length=4, return_factor=0.5, in_out_factor=2.0
+    )
+    return res.walks.join(g.nodes, "vid").select(
+        "walk_id", "step", F.col("orig_id").alias("node_id")
+    )
+
+
+def q_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (Borůvka) of the symmetrized derived graph
+    → chosen canonical edges. Rows-only: the lexicographic-tie-break
+    fixpoint has no tractable SQL twin; total-weight parity with Kruskal
+    is pinned in tests/test_structure_ops.py."""
+    from graph_data_science_spark.algorithms.spanning import minimum_spanning_forest
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_msf", orientation="UNDIRECTED")
+    res = minimum_spanning_forest(g)
+    m1 = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+    m2 = g.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
+    return (
+        res.edges.join(m1, "src")
+        .join(m2, "dst")
+        .select(
+            F.col("_s").alias("src"),
+            F.col("_d").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -821,6 +919,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sampled": q_closeness_sampled,
         "kmeans": q_kmeans,
         "dag_levels": q_dag_levels,
+        "collapse_path": q_collapse_path,
+        "knn": q_knn,
+        "k1coloring": q_k1coloring,
+        "graph_sample_rwr": q_graph_sample_rwr,
+        "node2vec_walks": q_node2vec_walks,
+        "spanning_forest": q_spanning_forest,
     }
 
 
@@ -1457,6 +1561,26 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEARDUP_LSH_T}
+""",
+        "collapse_path": _EDGES_CTE + """
+SELECT a.src, b.dst, count(*) AS weight
+FROM edges a JOIN edges b ON a.dst = b.src
+WHERE a.src <> b.dst
+GROUP BY a.src, b.dst
+""",
+        "knn": f"""
+WITH scored AS (
+    SELECT a.vec_id AS node1, b.vec_id AS node2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS similarity
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY node1 ORDER BY similarity DESC, node2 ASC
+    ) AS rn
+    FROM scored
+)
+SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
 """,
         # label_propagation: rows-only (iterative weighted argmax; no SQL twin)
     }

@@ -1,0 +1,83 @@
+"""KNN (reference ``gds.knn`` — SURVEY.md §2.D Similarity family): the
+k most similar neighbors per node by a node-property vector.
+
+The reference runs an iterative NN-Descent-style refinement over sampled
+candidates; our two strategies map to Spark's execution model instead:
+
+- ``method="exact"`` — all-pairs scoring. The pair generation is a single
+  self-join; per-pair similarity is a JVM higher-order expression. O(n²)
+  by definition: correct for small/medium node sets and as the oracle
+  twin.
+- ``method="lsh"`` — the scale path: random-hyperplane bucket blocking
+  (operators/similarity.py): each vector lands in one bucket per table,
+  pairs are generated within buckets only — expected cost n²/2^bits per
+  table, recall tunable by (n_bits, n_tables) exactly like the embedding
+  ANN (recall pinned in tests there).
+
+Deterministic: ties broken by ascending neighbor id (the reference's
+parallel stream order is not deterministic; ours is — load-bearing for
+the oracle/resume story).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.functions import cosine_similarity
+from graph_data_science_spark.operators.similarity import lsh_buckets
+
+
+def knn(
+    node_vectors: DataFrame,
+    k: int = 10,
+    id_col: str = "vid",
+    vec_col: str = "vec",
+    similarity_cutoff: float = 0.0,
+    method: str = "exact",
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """→ (node1, node2, similarity): per node1 the k most cosine-similar
+    other nodes (ties → min node2), similarity ≥ cutoff."""
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+    if method == "exact":
+        a = node_vectors.select(
+            F.col(id_col).alias("node1"), F.col(vec_col).alias("_va")
+        )
+        b = node_vectors.select(
+            F.col(id_col).alias("node2"), F.col(vec_col).alias("_vb")
+        )
+        pairs = a.join(b, F.col("node1") != F.col("node2")).select(
+            "node1",
+            "node2",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("similarity"),
+        )
+    else:
+        dim = len(node_vectors.select(vec_col).first()[0])
+        bk = lsh_buckets(node_vectors, dim, n_bits, n_tables, seed, id_col, vec_col)
+        a = bk.select(
+            F.col("id").alias("node1"), F.col("unit_vec").alias("_va"), "table", "bucket"
+        )
+        b = bk.select(
+            F.col("id").alias("node2"), F.col("unit_vec").alias("_vb"), "table", "bucket"
+        )
+        pairs = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("node1") != F.col("node2"))
+            .dropDuplicates(["node1", "node2"])
+            .select(
+                "node1",
+                "node2",
+                cosine_similarity(F.col("_va"), F.col("_vb")).alias("similarity"),
+            )
+        )
+    pairs = pairs.filter(F.col("similarity") >= similarity_cutoff)
+    w = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

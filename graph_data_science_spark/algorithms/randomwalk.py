@@ -95,3 +95,92 @@ def random_walk(
     adj.unpersist()
     deg.unpersist()
     return RandomWalkResult(walks=walks, walk_count=n_walks, max_steps=len(paths))
+
+
+def node2vec_walks(
+    graph: ProjectedGraph,
+    walks_per_node: int = 1,
+    walk_length: int = 10,
+    return_factor: float = 1.0,
+    in_out_factor: float = 1.0,
+    seed: int = 42,
+) -> RandomWalkResult:
+    """Second-order biased walks (reference ``gds.node2vec``'s walk stage
+    — Grover & Leskovec 2016): from current node v with previous node u,
+    neighbor x is weighted 1/p (x = u, "return"), 1 (x adjacent to u),
+    or 1/q (otherwise) with p = return_factor, q = in_out_factor.
+
+    Deterministic weighted choice, relationally: candidates = v's
+    neighbors joined against the (u → x) edge set for the distance-1
+    class, cumulative weights via a window per (walk) ordered by x, and
+    the pick is the first candidate whose cumulative weight exceeds
+    ``hash(walk, step, seed)/2⁶³ × total``. Per step that is one frontier
+    ⋈ adjacency join (fan-out = deg(v)), one broadcast-ish marker join,
+    one window — the frontier-sized plan the scale story needs (no
+    per-walk Python, no collect).
+    """
+    p, q = float(return_factor), float(in_out_factor)
+    adj = graph.edges.select("src", "dst").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    adj.count()
+
+    starts = graph.nodes.select("vid").select(
+        "vid",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("rep"),
+    ).select(
+        (F.col("vid") * walks_per_node + F.col("rep")).alias("walk_id"),
+        F.col("vid"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    frontier = starts.localCheckpoint(eager=True)
+    paths = [frontier.select("walk_id", F.lit(0).alias("step"), "vid")]
+
+    edge_mark = adj.select(
+        F.col("src").alias("prev"), F.col("dst").alias("cand"), F.lit(1).alias("_d1")
+    )
+    for step in range(1, walk_length):
+        cands = frontier.join(adj, frontier["vid"] == adj["src"]).select(
+            "walk_id", "prev", F.col("vid").alias("cur"), F.col("dst").alias("cand")
+        )
+        # second-order weight class: return / distance-1 / distance-2
+        cands = cands.join(edge_mark, ["prev", "cand"], "left").select(
+            "walk_id",
+            "cur",
+            "cand",
+            F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("_d1").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+            .alias("w"),
+        )
+        win = Window.partitionBy("walk_id").orderBy("cand")
+        tot = Window.partitionBy("walk_id")
+        r = (
+            F.pmod(
+                F.xxhash64(F.col("walk_id"), F.lit(step), F.lit(seed)), F.lit(1 << 62)
+            ).cast("double")
+            / float(1 << 62)
+        )
+        picked = (
+            cands.withColumn("cum", F.sum("w").over(win))
+            .withColumn("total", F.sum("w").over(tot))
+            .filter(F.col("cum") >= r * F.col("total"))
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+        )
+        frontier = picked.select(
+            "walk_id", F.col("cand").alias("vid"), F.col("cur").alias("prev")
+        ).localCheckpoint(eager=True)
+        if frontier.limit(1).count() == 0:
+            break
+        paths.append(frontier.select("walk_id", F.lit(step).alias("step"), "vid"))
+
+    walks = paths[0]
+    for pth in paths[1:]:
+        walks = walks.unionByName(pth)
+    adj.unpersist()
+    return RandomWalkResult(
+        walks=walks,
+        walk_count=graph.node_count * walks_per_node,
+        max_steps=len(paths),
+    )
