@@ -325,6 +325,107 @@ class _NodeSimilarityProc(_Proc):
         }
 
 
+class _LeidenProc(_Proc):
+    value_cols = ["community"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.leiden import leiden
+
+        res = leiden(graph, **config)
+        n = res.communities.select("community").distinct().count()
+        return res.communities, {
+            "modularity": res.modularity,
+            "community_count": n,
+            "ran_levels": res.levels,
+        }
+
+
+class _K1ColoringProc(_Proc):
+    value_cols = ["color"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.coloring import k1coloring
+
+        res = k1coloring(graph, **config)
+        used = res.colors.agg(F.max("color")).collect()[0][0]
+        return res.colors, {
+            "color_count": int(used or 0) + 1,
+            "ran_iterations": res.iterations,
+        }
+
+
+class _ShortestPathProc:
+    """``gds.shortestPath.dijkstra`` / ``.yens`` shape: source-target
+    stream with full path reconstruction (original ids)."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, source, target, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.paths import shortest_path
+
+        return shortest_path(graph, source, target, **config)
+
+    def yens(self, graph: ProjectedGraph, source, target, k: int = 3, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.paths import yens_k_shortest
+
+        return yens_k_shortest(graph, source, target, k=k, **config)
+
+
+class _SpanningTreeProc:
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.spanning import minimum_spanning_forest
+
+        res = minimum_spanning_forest(graph, **config)
+        m1 = graph.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+        m2 = graph.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
+        return (
+            res.edges.join(m1, "src").join(m2, "dst")
+            .select(F.col("_s").alias("src"), F.col("_d").alias("dst"), "weight")
+        )
+
+    def stats(self, graph: ProjectedGraph, **config) -> dict:
+        from graph_data_science_spark.algorithms.spanning import minimum_spanning_forest
+
+        res = minimum_spanning_forest(graph, **config)
+        return {
+            "total_weight": res.total_weight,
+            "effective_edge_count": res.edges.count(),
+            "phases": res.phases,
+        }
+
+
+class _Node2VecProc:
+    """Streams the biased-walk corpus (the reference's walk stage)."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.randomwalk import node2vec_walks
+
+        res = node2vec_walks(graph, **config)
+        return (
+            res.walks.join(graph.nodes, "vid")
+            .select("walk_id", "step", F.col("orig_id").alias("node_id"))
+        )
+
+
+class _KnnProc:
+    """``gds.knn`` shape over a node-property vector table."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, node_vectors: DataFrame, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.knn import knn
+
+        return knn(node_vectors, **config)
+
+
 class _GraphOps:
     """``gds.graph.*`` catalog operations."""
 
@@ -380,8 +481,27 @@ class SparkGDS:
         self.betweenness = _BetweennessProc(self)
         self.closeness = _ClosenessProc(self)
         self.random_walk = _RandomWalkProc(self)
+        self.leiden = _LeidenProc(self)
+        self.k1coloring = _K1ColoringProc(self)
+        self.shortest_path = _ShortestPathProc(self)
+        self.spanning_tree = _SpanningTreeProc(self)
+        self.node2vec = _Node2VecProc(self)
+        self.knn = _KnnProc(self)
 
     def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:
         from graph_data_science_spark.algorithms.louvain import modularity
 
         return modularity(graph, communities, **kw)
+
+    def sample_rwr(self, graph: ProjectedGraph, **kw):
+        """``gds.graph.sample.rwr``: random-walk-with-restart subgraph."""
+        from graph_data_science_spark.algorithms.sampling import sample_rwr
+
+        return sample_rwr(graph, **kw)
+
+    def collapse_path(self, edge_tables: list[DataFrame], **kw) -> DataFrame:
+        """``gds.beta.collapsePath``: chain-join a path template into
+        direct (src, dst, path-count) edges."""
+        from graph_data_science_spark.operators.collapse import collapse_path
+
+        return collapse_path(edge_tables, **kw)
