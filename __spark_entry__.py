@@ -866,6 +866,79 @@ def q_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* with h ≡ 0 (pure Dijkstra-with-target + bound pruning) on the
+    same deterministic (source, target) pair as ``shortest_path_target``
+    — verified against the SAME recursive-CTE oracle, so the pruning is
+    proven result-neutral by the driver gate."""
+    from graph_data_science_spark.algorithms.paths import astar
+
+    e = _edges(spark, sf_dir)
+    src = e.select(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0]["s"]
+    from graph_data_science_spark.algorithms.paths import single_source_paths
+    from graph_data_science_spark.projection import project
+
+    g = project(e, name="entry_astar")
+    sp = single_source_paths(g, src, weighted=True, max_iterations=BF_ROUNDS)
+    tgt = sp.distances.join(g.nodes, "vid").agg(F.max("orig_id")).collect()[0][0]
+    row = astar(g, src, tgt, max_iterations=BF_ROUNDS)
+    return row.select(
+        "source",
+        "target",
+        F.round("total_cost", 6).alias("total_cost"),
+        F.concat_ws("->", F.transform("node_ids", lambda x: x.cast("string"))).alias("path"),
+    )
+
+
+def q_modularity_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone modularity optimization (one move-phase level), min-
+    member canonical ids. Rows-only: iterative argmax has no SQL twin;
+    quality/seeding pinned in tests/test_breadth2.py."""
+    from graph_data_science_spark.algorithms.louvain import modularity_optimization
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_modopt", orientation="UNDIRECTED")
+    res = modularity_optimization(g, max_iterations=4)
+    return res.communities.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), "community"
+    )
+
+
+def q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLLPA overlapping communities (deterministic speaker draw), labels
+    canonicalized to min member. Rows-only: the memory evolution has no
+    SQL twin; cover structure + determinism pinned in tests."""
+    from graph_data_science_spark.algorithms.sllpa import sllpa
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_sllpa", orientation="UNDIRECTED")
+    res = sllpa(g, max_iterations=5)
+    return res.communities.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), F.col("label").alias("community_id")
+    )
+
+
+def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashGNN binary embeddings (2 mixing iterations, density 8): emits
+    per-node embedding size + an order-insensitive bit_xor fingerprint so
+    the row check is meaningful. Rows-only (hash-defined output)."""
+    from graph_data_science_spark.algorithms.hashgnn import hash_gnn
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_hgnn")
+    res = hash_gnn(g, iterations=2, embedding_density=8)
+    return (
+        res.embeddings.join(g.nodes, "vid")
+        .select(
+            F.col("orig_id").alias("node_id"),
+            F.size("embedding").alias("dim"),
+            F.aggregate(
+                "embedding", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+            ).alias("fingerprint"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -925,6 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sample_rwr": q_graph_sample_rwr,
         "node2vec_walks": q_node2vec_walks,
         "spanning_forest": q_spanning_forest,
+        "astar_path": q_astar_path,
+        "modularity_optimization": q_modularity_optimization,
+        "sllpa": q_sllpa,
+        "hashgnn": q_hashgnn,
     }
 
 
@@ -1534,6 +1611,7 @@ FROM per_src FULL OUTER JOIN per_dst USING (community)
         "bfs": _relax_oracle(weighted=False),
         "sssp": _relax_oracle(weighted=True),
         "shortest_path_target": _shortest_path_oracle(),
+        "astar_path": _shortest_path_oracle(),
         "node_similarity": _NODE_SIM_ORACLE,
         "node_similarity_filtered": _EDGES_CTE + """
 , adj AS (SELECT DISTINCT src, dst FROM edges),

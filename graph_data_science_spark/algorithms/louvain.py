@@ -279,6 +279,47 @@ def _move_phase(
     return assign.select("vid", "community"), best_q
 
 
+def modularity_optimization(
+    graph: ProjectedGraph,
+    max_iterations: int = 10,
+    init_communities: DataFrame | None = None,
+) -> LouvainResult:
+    """Standalone modularity optimization (reference
+    ``gds.beta.modularityOptimization``): ONE level of synchronous label
+    moving — Louvain without the coarsening recursion — optionally seeded
+    with an initial (vid, community) assignment. Returns min-member
+    canonical communities and the achieved modularity."""
+    edges = (
+        graph.edges
+        if graph.orientation == "UNDIRECTED"
+        else undirect_edges(graph.edges)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    two_m = float(edges.agg(F.sum("weight")).collect()[0][0] or 0.0)
+    if two_m == 0.0:
+        edges.unpersist()
+        return LouvainResult(
+            communities=graph.nodes.select("vid", F.col("vid").alias("community")),
+            modularity=0.0,
+            levels=0,
+        )
+    assign, q = _move_phase(
+        edges, two_m, max_iterations, init_assign=init_communities,
+        compare_stay=init_communities is not None,
+    )
+    # isolated nodes (possible with an explicit node set) keep singletons
+    full = (
+        graph.nodes.select("vid")
+        .join(assign.withColumnRenamed("community", "_c"), "vid", "left")
+        .select("vid", F.coalesce("_c", F.col("vid")).alias("community"))
+    )
+    edges.unpersist()
+    canon = full.groupBy("community").agg(F.min("vid").alias("_cid"))
+    final = full.join(canon, "community").select(
+        "vid", F.col("_cid").alias("community")
+    )
+    return LouvainResult(communities=final, modularity=q, levels=1)
+
+
 def louvain(
     graph: ProjectedGraph,
     max_levels: int = 10,

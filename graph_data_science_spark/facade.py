@@ -371,6 +371,11 @@ class _ShortestPathProc:
 
         return yens_k_shortest(graph, source, target, k=k, **config)
 
+    def astar(self, graph: ProjectedGraph, source, target, heuristic=None, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.paths import astar
+
+        return astar(graph, source, target, heuristic=heuristic, **config)
+
 
 class _SpanningTreeProc:
     def __init__(self, gds: "SparkGDS") -> None:
@@ -412,6 +417,43 @@ class _Node2VecProc:
             res.walks.join(graph.nodes, "vid")
             .select("walk_id", "step", F.col("orig_id").alias("node_id"))
         )
+
+
+class _SllpaProc:
+    """Streams the overlapping (node_id, community_id) cover."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.sllpa import sllpa
+
+        res = sllpa(graph, **config)
+        return (
+            res.communities.join(graph.nodes, "vid")
+            .select(F.col("orig_id").alias("node_id"), F.col("label").alias("community_id"))
+        )
+
+
+class _HashGnnProc(_Proc):
+    value_cols = ["embedding"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.hashgnn import hash_gnn
+
+        res = hash_gnn(graph, **config)
+        return res.embeddings, {"ran_iterations": res.iterations}
+
+
+class _ModularityOptimizationProc(_Proc):
+    value_cols = ["community"]
+
+    def _run(self, graph, **config):
+        from graph_data_science_spark.algorithms.louvain import modularity_optimization
+
+        res = modularity_optimization(graph, **config)
+        n = res.communities.select("community").distinct().count()
+        return res.communities, {"modularity": res.modularity, "community_count": n}
 
 
 class _KnnProc:
@@ -487,6 +529,9 @@ class SparkGDS:
         self.spanning_tree = _SpanningTreeProc(self)
         self.node2vec = _Node2VecProc(self)
         self.knn = _KnnProc(self)
+        self.sllpa = _SllpaProc(self)
+        self.hashgnn = _HashGnnProc(self)
+        self.modularity_optimization = _ModularityOptimizationProc(self)
 
     def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:
         from graph_data_science_spark.algorithms.louvain import modularity

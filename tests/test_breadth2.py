@@ -1,0 +1,128 @@
+"""Round-2 tail coverage tests: standalone modularity optimization, A*,
+SLLPA overlapping communities, HashGNN embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.hashgnn import hash_gnn
+from graph_data_science_spark.algorithms.louvain import modularity, modularity_optimization
+from graph_data_science_spark.algorithms.paths import astar, shortest_path
+from graph_data_science_spark.algorithms.sllpa import sllpa
+from graph_data_science_spark.projection import project
+
+from tests import fixtures, oracles
+
+
+def _project(spark, nodes, edges, **kw):
+    df = fixtures.to_df(spark, nodes, edges)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id string")
+    return project(df, nodes=nodes_df, **kw)
+
+
+class TestModularityOptimization:
+    def test_improves_on_singletons_and_reports_true_q(self, spark):
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        res = modularity_optimization(g, max_iterations=6)
+        singles = modularity(g, g.nodes.select("vid", F.col("vid").alias("community")))
+        assert res.modularity >= singles - 1e-12
+        assert abs(modularity(g, res.communities) - res.modularity) < 1e-9
+
+    def test_seeded_start(self, spark):
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        seed = g.nodes.select("vid", F.pmod(F.col("vid"), F.lit(2)).alias("community"))
+        res = modularity_optimization(g, max_iterations=6, init_communities=seed)
+        assert modularity(g, res.communities) >= -1.0  # runs, reports valid Q
+
+
+class TestAStar:
+    def test_zero_heuristic_equals_dijkstra(self, spark, ):
+        nodes, edges = fixtures.gnm(n=30, m=110, seed=47)
+        nodes = [str(n) for n in nodes]
+        edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges if a != b})]
+        g = _project(spark, nodes, edges)
+        src = nodes[0]
+        tgt = max(oracles.bfs_oracle(nodes, edges, [src]))
+        want = shortest_path(g, src, tgt).collect()[0]
+        got = astar(g, src, tgt).collect()[0]
+        assert got["total_cost"] == want["total_cost"]
+        assert list(got["node_ids"]) == list(want["node_ids"])
+
+    def test_perfect_heuristic_same_answer(self, spark):
+        nodes, edges = fixtures.gnm(n=30, m=110, seed=47)
+        nodes = [str(n) for n in nodes]
+        edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges if a != b})]
+        g = _project(spark, nodes, edges)
+        src = nodes[0]
+        tgt = max(oracles.bfs_oracle(nodes, edges, [src]))
+        # perfect admissible heuristic: true distance TO target over the
+        # reversed graph, computed by the python oracle
+        rev = [(d, s, w) for s, d, w in edges]
+        h_map = oracles.bfs_oracle(nodes, rev, [tgt])
+        vid_of = {r["orig_id"]: r["vid"] for r in g.nodes.collect()}
+        h = spark.createDataFrame(
+            [(vid_of[n], float(d)) for n, d in h_map.items()], "vid long, h double"
+        )
+        want = shortest_path(g, src, tgt).collect()[0]
+        got = astar(g, src, tgt, heuristic=h).collect()[0]
+        assert got["total_cost"] == want["total_cost"]
+        assert list(got["node_ids"]) == list(want["node_ids"])
+
+    def test_unreachable_empty(self, spark):
+        nodes, edges = fixtures.chain()
+        g = _project(spark, nodes, edges)
+        assert astar(g, "d", "a").count() == 0
+
+
+class TestSllpa:
+    def test_cover_structure_and_determinism(self, spark):
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        a = sorted(map(tuple, sllpa(g).communities.collect()))
+        b = sorted(map(tuple, sllpa(g).communities.collect()))
+        assert a == b
+        byvid: dict = {}
+        for vid, label in a:
+            byvid.setdefault(vid, set()).add(label)
+        # every node belongs to ≥1 community; labels are node ids
+        assert set(byvid) == {r["vid"] for r in g.nodes.collect()}
+        # triangle cohesion: each triangle shares at least one label
+        vid_of = {r["orig_id"]: r["vid"] for r in g.nodes.collect()}
+        t1 = byvid[vid_of["a"]] & byvid[vid_of["b"]] & byvid[vid_of["c"]]
+        t2 = byvid[vid_of["d"]] & byvid[vid_of["e"]] & byvid[vid_of["f"]]
+        assert t1 and t2
+
+    def test_threshold_monotone(self, spark):
+        nodes, edges = fixtures.gnm(n=25, m=90, seed=3)
+        nodes = [str(n) for n in nodes]
+        edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges if a != b})]
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        loose = sllpa(g, threshold=0.05).communities.count()
+        tight = sllpa(g, threshold=0.4).communities.count()
+        assert tight <= loose
+
+
+class TestHashGnn:
+    def test_shape_determinism_and_neighborhood_similarity(self, spark):
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        res = hash_gnn(g, iterations=2, embedding_density=4)
+        rows = {r["vid"]: tuple(r["embedding"]) for r in res.embeddings.collect()}
+        assert set(rows) == {r["vid"] for r in g.nodes.collect()}
+        assert all(1 <= len(v) <= 4 for v in rows.values())
+        res2 = hash_gnn(g, iterations=2, embedding_density=4)
+        assert rows == {r["vid"]: tuple(r["embedding"]) for r in res2.embeddings.collect()}
+        # same-triangle nodes share more tokens than cross-triangle nodes
+        vid_of = {r["orig_id"]: r["vid"] for r in g.nodes.collect()}
+        def overlap(x, y):
+            return len(set(rows[vid_of[x]]) & set(rows[vid_of[y]]))
+        assert overlap("a", "b") >= overlap("a", "e")
+
+    def test_isolated_node_keeps_own_token(self, spark):
+        nodes, edges = fixtures.disconnected()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        res = hash_gnn(g, iterations=2, embedding_density=4)
+        assert res.embeddings.count() == g.node_count
