@@ -126,3 +126,75 @@ class TestHashGnn:
         g = _project(spark, nodes, edges, orientation="UNDIRECTED")
         res = hash_gnn(g, iterations=2, embedding_density=4)
         assert res.embeddings.count() == g.node_count
+
+
+class TestInfluenceMaximization:
+    def test_greedy_matches_python_on_live_worlds(self, spark):
+        from graph_data_science_spark.algorithms.influence import (
+            celf_influence_maximization,
+            live_edges,
+        )
+
+        nodes, edges = fixtures.gnm(n=25, m=100, seed=29)
+        nodes = [str(n) for n in nodes]
+        edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges if a != b})]
+        g = _project(spark, nodes, edges)
+        sims = 8
+        res = celf_influence_maximization(
+            g, seed_set_size=3, mc_simulations=sims, propagation_probability=0.3,
+            candidate_pool=25,
+        )
+        got = [(r["rank"], r["vid"]) for r in res.seeds.orderBy("rank").collect()]
+
+        # python greedy over the SAME live worlds (collected from Spark —
+        # the hash is engine-side; the greedy itself is independent)
+        live = live_edges(g, sims, 0.3).collect()
+        worlds: dict = {s: [] for s in range(sims)}
+        for r in live:
+            worlds[r["sim"]].append((r["src"], r["dst"]))
+
+        def reach(world_edges, srcs):
+            seen = set(srcs)
+            stack = list(srcs)
+            adj: dict = {}
+            for a, b in world_edges:
+                adj.setdefault(a, []).append(b)
+            while stack:
+                u = stack.pop()
+                for v in adj.get(u, []):
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            return seen
+
+        cands = sorted({r["vid"] for r in g.nodes.collect()})
+        chosen: list = []
+        covered = {s: set() for s in range(sims)}
+        for _ in range(3):
+            best, best_gain = None, -1
+            for c in cands:
+                if c in chosen:
+                    continue
+                gain = sum(
+                    len(reach(worlds[s], [c]) - covered[s]) for s in range(sims)
+                )
+                if gain > best_gain or (gain == best_gain and c < best):
+                    best, best_gain = c, gain
+            chosen.append(best)
+            for s in range(sims):
+                covered[s] |= reach(worlds[s], [best])
+        assert [v for _i, v in got] == chosen
+
+    def test_spread_monotone_in_seed_count(self, spark):
+        from graph_data_science_spark.algorithms.influence import (
+            celf_influence_maximization,
+        )
+
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges)
+        res = celf_influence_maximization(
+            g, seed_set_size=3, mc_simulations=4, propagation_probability=0.5,
+            candidate_pool=6,
+        )
+        spreads = [r["expected_spread_after"] for r in res.seeds.orderBy("rank").collect()]
+        assert spreads == sorted(spreads)
