@@ -36,6 +36,9 @@ class ColoringResult:
     colors: DataFrame  # (vid, color)
     iterations: int
     metrics: list[dict] = field(default_factory=list)
+    #: False when ``max_iterations`` was exhausted while the last round
+    #: still recolored nodes — the returned coloring MAY be improper.
+    converged: bool = True
 
 
 def k1coloring(graph: ProjectedGraph, max_iterations: int = 100) -> ColoringResult:
@@ -56,6 +59,7 @@ def k1coloring(graph: ProjectedGraph, max_iterations: int = 100) -> ColoringResu
     )
     metrics: list[dict] = []
     iterations = 0
+    n_conf = 0
     for it in range(max_iterations):
         cs = colors.select(F.col("vid").alias("src"), F.col("color").alias("c_src"))
         cd = colors.select(F.col("vid").alias("dst"), F.col("color").alias("c_dst"))
@@ -100,4 +104,6 @@ def k1coloring(graph: ProjectedGraph, max_iterations: int = 100) -> ColoringResu
         if n_conf == 0:
             break
     adj.unpersist()
-    return ColoringResult(colors=colors, iterations=iterations, metrics=metrics)
+    return ColoringResult(
+        colors=colors, iterations=iterations, metrics=metrics, converged=n_conf == 0
+    )

@@ -114,13 +114,22 @@ def celf_influence_maximization(
     spread = 0.0
     for rank in range(min(seed_set_size, candidate_pool)):
         rem = reach
+        rem_cands = cands
         if chosen:
-            rem = reach.filter(~F.col("cand").isin([c for c, _ in chosen]))
+            picked = [c for c, _ in chosen]
+            rem = reach.filter(~F.col("cand").isin(picked))
+            rem_cands = cands.filter(~F.col("cand").isin(picked))
         if reach_s is not None:
             rem = rem.join(reach_s, ["sim", "vid"], "left_anti")
+        # Left-join the remaining candidate list so fully-covered candidates
+        # (zero marginal gain → no rows in the anti-joined agg) stay
+        # selectable: the reference CELF returns exactly k seeds, breaking
+        # gain-0 ties by id.
         row = (
-            rem.groupBy("cand")
-            .agg(F.count(F.lit(1)).alias("gain"))
+            rem_cands.join(
+                rem.groupBy("cand").agg(F.count(F.lit(1)).alias("_g")), "cand", "left"
+            )
+            .select("cand", F.coalesce("_g", F.lit(0)).alias("gain"))
             .orderBy(F.desc("gain"), F.asc("cand"))
             .limit(1)
             .collect()

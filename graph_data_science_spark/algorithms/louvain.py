@@ -267,12 +267,11 @@ def _move_phase(
             if stale >= 2:
                 break
             continue
-        if assign is not best_assign:
-            assign.unpersist()
-        if best_assign is not assign:
-            best_assign.unpersist()
+        prev = assign  # == best_assign here; unpersist the superseded one
         assign = new_assign
         best_assign = new_assign
+        if prev is not new_assign:
+            prev.unpersist()
         best_q = new_q
         stale = 0
     deg.unpersist()

@@ -93,11 +93,17 @@ def page_rank(
     checkpoint_every: int = 5,
     executor: str = "relational",
     fused_supersteps: int = 1,
+    track_metrics: bool = True,
 ) -> PageRankResult:
     """``executor``: 'relational' (state⋈edges join, the correctness
     anchor) or 'csr' (per-block CSR Arrow buffers + vectorized pandas-UDF
     gather-scatter — the north_rule physical path). Both agree bit-for-bit
-    (cross-checked in tests)."""
+    (cross-checked in tests).
+
+    ``track_metrics=False`` (fixed-iteration runs only, tolerance ≤ 0)
+    skips the per-superstep delta/mass aggregate — that collect is a full
+    extra Spark job per superstep of pure driver-serial time, the main
+    Amdahl term in scaling runs where convergence is not being watched."""
     csr = None
     if executor == "csr":
         from graph_data_science_spark.plans.csr import CsrPlan
@@ -167,12 +173,14 @@ def page_rank(
             "rank_sum": float(row["rank_sum"] if row["rank_sum"] is not None else 0.0),
         }
 
+    if not track_metrics and tolerance > 0:
+        raise ValueError("track_metrics=False requires tolerance <= 0 (fixed iterations)")
     res = run_pregel(
         init,
         step,
         max_iterations=max_iterations,
-        metrics_fn=metrics,
-        stop_fn=lambda m, i: m["max_delta"] < tolerance,
+        metrics_fn=metrics if track_metrics else None,
+        stop_fn=(lambda m, i: m["max_delta"] < tolerance) if track_metrics else None,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
         fused_supersteps=fused_supersteps,

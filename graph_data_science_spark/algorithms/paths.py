@@ -594,17 +594,28 @@ def closeness(
     — a scale-killer on a connected 100-TB graph; it exists for parity and
     small/medium graphs. At scale pass ``sample_sources=k``: the k
     smallest vids become deterministic pivots (Eppstein–Wang style, but
-    deterministic for the resume/oracle story), BFS runs from the pivots
-    only — O(k·n) pair state — and every node v is scored from the pivot
-    distances INTO it: ĉ(v) = |P_v| / Σ_{p∈P_v} d(p,v) (the inverse mean
-    pivot distance; exact closeness under pivot-set = all and a symmetric
-    graph), ĥ(v) = Σ_p 1/d(p,v) / k. Wasserman-Faust applies to the exact
-    mode only.
+    deterministic for the resume/oracle story). The pivot BFS runs over
+    the REVERSED edge table, so a pivot reaching v at hop d means
+    d(v, p) = d — the same out-distance quantity exact mode measures —
+    and every node v is scored from its distances TO the pivots:
+    ĉ(v) = |P_v| / Σ_{p∈P_v} d(v,p) (the inverse mean pivot distance;
+    exact closeness when pivot-set = all), ĥ(v) = Σ_p 1/d(v,p) / k.
+    O(k·n) pair state. Wasserman-Faust applies to the exact mode only.
     """
     if sample_sources is not None:
+        from dataclasses import replace as _dc_replace
+
         k = min(sample_sources, graph.node_count)
         pivots = graph.nodes.select("vid").filter(F.col("vid") < k)
-        pairs = all_pairs_hops(graph, sources=pivots, max_iterations=max_iterations)
+        # BFS from pivots along REVERSED edges: d_rev(p, v) == d(v, p).
+        # (On an UNDIRECTED projection this is a no-op semantically.)
+        rev = _dc_replace(
+            graph,
+            edges=graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            ),
+        )
+        pairs = all_pairs_hops(rev, sources=pivots, max_iterations=max_iterations)
         per = pairs.filter(F.col("hops") > 0).groupBy("vid").agg(
             F.count(F.lit(1)).alias("p_r"),
             F.sum("hops").alias("sum_d"),

@@ -403,13 +403,52 @@ class _SpanningTreeProc:
         }
 
 
+class _SteinerProc:
+    """``gds.steinerTree`` — Mehlhorn 2-approx over existing primitives."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, source_node, target_nodes, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.steiner import steiner_tree
+
+        res = steiner_tree(graph, source_node, target_nodes, **config)
+        m1 = graph.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+        m2 = graph.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
+        return (
+            res.edges.join(m1, "src").join(m2, "dst")
+            .select(F.col("_s").alias("src"), F.col("_d").alias("dst"), "weight")
+        )
+
+    def stats(self, graph: ProjectedGraph, source_node, target_nodes, **config) -> dict:
+        from graph_data_science_spark.algorithms.steiner import steiner_tree
+
+        res = steiner_tree(graph, source_node, target_nodes, **config)
+        return {
+            "total_weight": res.total_weight,
+            "effective_node_count": res.terminal_count,
+            "effective_edge_count": res.edges.count(),
+        }
+
+
 class _Node2VecProc:
-    """Streams the biased-walk corpus (the reference's walk stage)."""
+    """``gds.node2vec``: stream = (node_id, embedding) from the trained
+    SGNS-equivalent factorization; ``stream_walks`` exposes the biased
+    p/q walk corpus (the reference's walk stage)."""
 
     def __init__(self, gds: "SparkGDS") -> None:
         self.gds = gds
 
     def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.node2vec import node2vec
+
+        res = node2vec(graph, **config)
+        return (
+            res.embeddings.join(graph.nodes, "vid")
+            .select(F.col("orig_id").alias("node_id"), "embedding")
+        )
+
+    def stream_walks(self, graph: ProjectedGraph, **config) -> DataFrame:
         from graph_data_science_spark.algorithms.randomwalk import node2vec_walks
 
         res = node2vec_walks(graph, **config)
@@ -456,6 +495,41 @@ class _ModularityOptimizationProc(_Proc):
         return res.communities, {"modularity": res.modularity, "community_count": n}
 
 
+class _InfluenceProc:
+    """``gds.influenceMaximization.celf`` — batched live-edge greedy."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.influence import (
+            celf_influence_maximization,
+        )
+
+        res = celf_influence_maximization(graph, **config)
+        return (
+            res.seeds.join(graph.nodes, "vid")
+            .select(
+                "rank",
+                F.col("orig_id").alias("node_id"),
+                "expected_spread_after",
+            )
+            .orderBy("rank")
+        )
+
+    def stats(self, graph: ProjectedGraph, **config) -> dict:
+        from graph_data_science_spark.algorithms.influence import (
+            celf_influence_maximization,
+        )
+
+        res = celf_influence_maximization(graph, **config)
+        return {
+            "expected_spread": res.expected_spread,
+            "simulations": res.simulations,
+            "seed_count": res.seeds.count(),
+        }
+
+
 class _KnnProc:
     """``gds.knn`` shape over a node-property vector table."""
 
@@ -498,11 +572,101 @@ class _GraphOps:
     def filter(self, name: str, source: str, **kwargs) -> ProjectedGraph:
         return self.gds.catalog.filter(name, source, **kwargs)
 
+    def generate(self, name: str, node_count: int, **kwargs) -> ProjectedGraph:
+        """``gds.beta.graph.generate``: deterministic distributed random
+        graph → projected into the catalog (or standalone)."""
+        from graph_data_science_spark.sources.generate import generate_graph
+
+        edges = generate_graph(self.gds.spark, node_count, **kwargs)
+        return self.project(name, edges)
+
+
+class _GraphSageProc:
+    """``gds.beta.graphSage`` — inference/stream path (train imports via
+    the model catalog; see algorithms/graphsage.py scope note)."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.graphsage import graph_sage
+
+        res = graph_sage(graph, **config)
+        return res.embeddings.join(graph.nodes, "vid").select(
+            F.col("orig_id").alias("node_id"), "embedding"
+        )
+
+
+class _MaxKCutProc:
+    """``gds.maxkcut`` — deterministic BSP local search."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
+
+        res = approx_max_k_cut(graph, **config)
+        return res.assignments.join(graph.nodes, "vid").select(
+            F.col("orig_id").alias("node_id"), "community"
+        )
+
+    def stats(self, graph: ProjectedGraph, **config) -> dict:
+        from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
+
+        res = approx_max_k_cut(graph, **config)
+        return {"cut_weight": res.cut_weight, "ran_iterations": res.iterations}
+
+
+class _LinkPredictionProc:
+    """``gds.beta.pipeline.linkPrediction`` train/predict."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def train(self, graph: ProjectedGraph, embeddings: DataFrame, **config):
+        from graph_data_science_spark.ml.linkpred import train_link_prediction
+
+        return train_link_prediction(graph, embeddings, **config)
+
+    def predict(self, model, pairs: DataFrame, embeddings: DataFrame, **config) -> DataFrame:
+        from graph_data_science_spark.ml.linkpred import predict_link_prediction
+
+        return predict_link_prediction(model, pairs, embeddings, **config)
+
+
+class _NodeClassificationProc:
+    """``gds.beta.pipeline.nodeClassification`` train/predict."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def train(self, features: DataFrame, **config):
+        from graph_data_science_spark.ml.nodeclass import train_node_classification
+
+        return train_node_classification(features, **config)
+
+    def predict(self, model, features: DataFrame, **config) -> DataFrame:
+        from graph_data_science_spark.ml.nodeclass import predict_node_classification
+
+        return predict_node_classification(model, features, **config)
+
 
 class SparkGDS:
-    def __init__(self, spark: SparkSession, catalog_dir: str | None = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog_dir: str | None = None,
+        model_dir: str | None = None,
+    ) -> None:
         self.spark = spark
         self.catalog = GraphCatalog(spark, catalog_dir) if catalog_dir else None
+        if model_dir:
+            from graph_data_science_spark.ml.models import ModelCatalog
+
+            self.model = ModelCatalog(spark, model_dir)
+        else:
+            self.model = None
         self.graph = _GraphOps(self)
         self.page_rank = _PageRankProc(self)
         self.wcc = _WccProc(self)
@@ -532,6 +696,12 @@ class SparkGDS:
         self.sllpa = _SllpaProc(self)
         self.hashgnn = _HashGnnProc(self)
         self.modularity_optimization = _ModularityOptimizationProc(self)
+        self.influence = _InfluenceProc(self)
+        self.steiner_tree = _SteinerProc(self)
+        self.link_prediction = _LinkPredictionProc(self)
+        self.node_classification = _NodeClassificationProc(self)
+        self.max_k_cut = _MaxKCutProc(self)
+        self.graph_sage = _GraphSageProc(self)
 
     def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:
         from graph_data_science_spark.algorithms.louvain import modularity

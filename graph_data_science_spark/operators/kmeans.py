@@ -13,6 +13,12 @@ Deterministic Lloyd's:
   FastRP — no collect_list of vectors); empty clusters keep their
   previous centroid (standard convention).
 
+Assignment has two plans with identical results: k ≤ 128 inlines the
+centroids as literal expressions (zero extra shuffle); larger k
+broadcasts them as a k-row table and reduces ``min(struct(d, cid))``
+per id — plan size O(1) in k, the n·k scored rows partial-aggregate
+map-side before the one id-keyed shuffle.
+
 Centroids (k·d doubles) live on the driver between iterations — the
 masterCompute pattern; assignments never leave the cluster.
 """
@@ -63,8 +69,10 @@ def k_means(
     centroids = [
         list(r["v"]) for r in data.orderBy("id").limit(k).collect()
     ]
+    spark = df.sparkSession
 
-    def _assign(cents: list[list[float]]) -> DataFrame:
+    def _assign_literal(cents: list[list[float]]) -> DataFrame:
+        # small k: k·d literal columns, zero extra shuffles
         pairs = F.array(
             *[
                 F.struct(_dist2(F.col("v"), c).alias("d"), F.lit(ci).alias("cid"))
@@ -75,6 +83,39 @@ def k_means(
         return data.select(
             "id", "v", best["cid"].alias("cluster"), best["d"].alias("d2")
         ).localCheckpoint(eager=True)
+
+    def _assign_join(cents: list[list[float]]) -> DataFrame:
+        # large k: the literal plan is O(k·d) expression nodes — planner
+        # death past a few hundred clusters. Scale path: broadcast the
+        # centroids as a k-row table, score via crossJoin, reduce with a
+        # deterministic min(struct(d, cid)) — the n·k scored rows
+        # partial-aggregate map-side (data side keeps its partitioning
+        # under a broadcast join), so the shuffle carries one row per id.
+        from graph_data_science_spark.functions import euclidean_sq
+
+        cdf = spark.createDataFrame(
+            [(ci, [float(x) for x in c]) for ci, c in enumerate(cents)],
+            "cid int, cv array<double>",
+        )
+        best = (
+            data.crossJoin(F.broadcast(cdf))
+            .select(
+                "id",
+                F.struct(
+                    euclidean_sq(F.col("v"), F.col("cv")).alias("d"),
+                    F.col("cid").alias("cid"),
+                ).alias("p"),
+            )
+            .groupBy("id")
+            .agg(F.min("p").alias("b"))
+        )
+        return data.join(best, "id").select(
+            "id", "v", F.col("b.cid").alias("cluster"), F.col("b.d").alias("d2")
+        ).localCheckpoint(eager=True)
+
+    # both paths produce identical assignments (same deterministic
+    # (d, cid) tie-break); the cutover is purely a plan-size guard
+    _assign = _assign_literal if k <= 128 else _assign_join
 
     metrics: list[dict] = []
     iterations = 0

@@ -14,13 +14,21 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_mem() -> str:
-    """~40% of physical RAM, clamped to [8g, 48g] — big enough to keep
-    superstep loops out of GC trouble, never larger than the host."""
+    """~40% of physical RAM, clamped to [8g, 16g].
+
+    Round-2 raised the cap to 48g ("GC trouble at 8g"); the round-3
+    controlled heap × parallelism matrix (tools/bench_matrix.py,
+    BENCH/matrix.json: fresh JVM per cell, 27M-edge PageRank, repeats)
+    found NO reproducible 48g advantage — cell medians at 8g matched or
+    beat 48g at both local[8] and local[32], and the round-2 recorded
+    scaling collapse happened under the 48g default. A modest cap also
+    mirrors what a per-executor heap on a real cluster looks like;
+    SPARK_GRAFT_DRIVER_MEM overrides either way."""
     try:
         total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
     except (ValueError, OSError, AttributeError):
         total_gb = 16.0
-    return f"{max(8, min(48, int(total_gb * 0.4)))}g"
+    return f"{max(8, min(16, int(total_gb * 0.4)))}g"
 
 
 def get_spark(

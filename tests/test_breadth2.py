@@ -198,3 +198,69 @@ class TestInfluenceMaximization:
         )
         spreads = [r["expected_spread_after"] for r in res.seeds.orderBy("rank").collect()]
         assert spreads == sorted(spreads)
+
+
+class TestInfluenceExactlyKSeeds:
+    def test_zero_gain_candidates_still_selected(self, spark):
+        # ADVICE r2: once one seed's cascade covers every reachable node,
+        # the remaining picks have zero marginal gain — the reference
+        # still returns exactly k seeds, gain-0 ties broken by id.
+        from graph_data_science_spark.algorithms.influence import (
+            celf_influence_maximization,
+        )
+
+        nodes, edges = fixtures.cycle()  # 3-cycle, p=1.0 → one seed covers all
+        g = _project(spark, nodes, edges)
+        res = celf_influence_maximization(
+            g, seed_set_size=3, mc_simulations=2, propagation_probability=1.0,
+            candidate_pool=3,
+        )
+        rows = res.seeds.orderBy("rank").collect()
+        assert len(rows) == 3
+        # spread no longer grows after the first seed
+        assert rows[0]["expected_spread_after"] == rows[2]["expected_spread_after"]
+        # gain-0 picks come in ascending vid order
+        assert rows[1]["vid"] < rows[2]["vid"]
+
+
+class TestApproxMaxKCut:
+    def test_bipartite_recovers_full_cut(self, spark):
+        # complete bipartite K3,3: the max 2-cut is ALL edges
+        from graph_data_science_spark.algorithms.maxkcut import (
+            approx_max_k_cut,
+            cut_weight,
+        )
+
+        left = ["a", "b", "c"]
+        right = ["x", "y", "z"]
+        edges = fixtures.symmetrize([(l, r, 1.0) for l in left for r in right])
+        g = _project(spark, left + right, edges, orientation="UNDIRECTED")
+        res = approx_max_k_cut(g, k=2, max_iterations=10)
+        vid = {r["orig_id"]: r["vid"] for r in g.nodes.collect()}
+        ideal = g.nodes.select(
+            "vid",
+            F.when(F.col("orig_id").isin(*left), F.lit(0)).otherwise(F.lit(1)).alias("community"),
+        )
+        assert res.cut_weight == pytest.approx(cut_weight(g, ideal))  # every edge cut
+        parts = {r["vid"]: r["community"] for r in res.assignments.collect()}
+        assert len({parts[vid[n]] for n in left}) == 1
+        assert len({parts[vid[n]] for n in right}) == 1
+        assert parts[vid["a"]] != parts[vid["x"]]
+
+    def test_cut_never_below_init_and_deterministic(self, spark):
+        from graph_data_science_spark.algorithms.maxkcut import (
+            approx_max_k_cut,
+            cut_weight,
+        )
+
+        nodes, edges = fixtures.gnm(n=24, m=90, seed=17)
+        nodes = [str(n) for n in nodes]
+        edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges if a != b})]
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        init = g.nodes.select("vid", F.pmod(F.col("vid"), F.lit(3)).alias("community"))
+        res = approx_max_k_cut(g, k=3, max_iterations=8)
+        assert res.cut_weight >= cut_weight(g, init) - 1e-9
+        res2 = approx_max_k_cut(g, k=3, max_iterations=8)
+        a = sorted(map(tuple, res.assignments.collect()))
+        b = sorted(map(tuple, res2.assignments.collect()))
+        assert a == b

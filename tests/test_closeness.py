@@ -64,3 +64,23 @@ def test_sampled_all_pivots_symmetric_equals_exact(spark):
     for k in exact:
         assert abs(exact[k][0] - sampled[k][0]) < 1e-9
         assert abs(exact[k][1] * (n - 1) / n - sampled[k][1]) < 1e-9
+
+
+def test_sampled_all_pivots_directed_equals_exact(spark):
+    # ADVICE r2: sampled mode must estimate the SAME out-closeness as
+    # exact mode on DIRECTED graphs (pivot BFS over reversed edges).
+    # With pivots = ALL nodes the estimate is exact — also on a directed
+    # graph where in- and out-closeness differ.
+    nodes, edges = fixtures.gnm(n=25, m=60, seed=13)
+    nodes = [str(n) for n in nodes]
+    edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges if a != b})]
+    g = _project(spark, nodes, edges)
+    exact = {r["vid"]: (r["closeness"], r["harmonic"]) for r in closeness(g).collect()}
+    n = g.node_count
+    sampled = {
+        r["vid"]: (r["closeness"], r["harmonic"])
+        for r in closeness(g, sample_sources=n).collect()
+    }
+    for k in exact:
+        assert abs(exact[k][0] - sampled[k][0]) < 1e-9
+        assert abs(exact[k][1] * (n - 1) / n - sampled[k][1]) < 1e-9

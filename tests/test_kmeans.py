@@ -87,3 +87,20 @@ def test_empty_input(spark):
     assert res.assignments.count() == 0
     assert res.centroids == []
     assert res.iterations == 0
+
+
+def test_large_k_join_path_matches_literal(spark, vectors):
+    """k > 128 switches to the broadcast-join assignment plan (O(1) plan
+    size in k); it must produce the same assignments/centroids as the
+    literal plan and the numpy oracle."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = k_means(df, k=150, max_iterations=2)
+    want, want_cent = _oracle(rows, 150, 2)
+    got = {r["id"]: (r["cluster"], r["distance"]) for r in res.assignments.collect()}
+    assert all(got[i][0] == want[i][0] for i in want)
+    for a, b in zip(res.centroids, want_cent):
+        assert np.allclose(a, b, atol=1e-9)

@@ -1,0 +1,196 @@
+"""ML pipelines + model catalog: distributed LR vs a numpy twin,
+link-prediction end-to-end on a separable fixture, node classification
+one-vs-rest, model catalog round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.ml.logreg import train_logistic_regression
+from graph_data_science_spark.projection import project
+
+from tests import fixtures
+
+
+def _project(spark, nodes, edges, **kw):
+    df = fixtures.to_df(spark, nodes, edges)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id string")
+    return project(df, nodes=nodes_df, **kw)
+
+
+class TestLogReg:
+    def test_matches_numpy_gd(self, spark):
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(80, 4))
+        w_true = np.array([2.0, -1.0, 0.5, 0.0])
+        y = (X @ w_true + 0.3 > 0).astype(int)
+        df = spark.createDataFrame(
+            [([float(v) for v in x], int(t)) for x, t in zip(X, y)],
+            "features array<double>, label int",
+        )
+        model = train_logistic_regression(df, learning_rate=0.5, max_iterations=20, tolerance=-1.0)
+
+        # numpy full-batch GD, identical schedule
+        w = np.zeros(4)
+        b = 0.0
+        for _ in range(20):
+            p = 1 / (1 + np.exp(-(X @ w + b)))
+            err = p - y
+            w = w - 0.5 * (X.T @ err) / len(y)
+            b = b - 0.5 * err.mean()
+        assert np.allclose(model.weights, w, atol=1e-9)
+        assert abs(model.bias - b) < 1e-9
+
+    def test_loss_decreases(self, spark):
+        rng = np.random.default_rng(6)
+        rows = [
+            ([float(v) for v in rng.normal(size=3) + (2 if i % 2 else -2)], i % 2)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "features array<double>, label int")
+        model = train_logistic_regression(df, learning_rate=1.0, max_iterations=10, tolerance=0.0)
+        losses = [m["loss"] for m in model.metrics]
+        assert losses[-1] < losses[0]
+
+
+class TestLinkPrediction:
+    def test_separable_graph_scores_edges_higher(self, spark):
+        from graph_data_science_spark.ml.linkpred import (
+            predict_link_prediction,
+            train_link_prediction,
+        )
+
+        # two cliques: embeddings = one-hot-ish cluster indicator, so
+        # HADAMARD features separate intra (product > 0) from cross pairs
+        import itertools
+
+        left = [f"l{i}" for i in range(6)]
+        right = [f"r{i}" for i in range(6)]
+        edges = []
+        for grp in (left, right):
+            for a, b in itertools.combinations(grp, 2):
+                edges.append((a, b, 1.0))
+        g = _project(spark, left + right, fixtures.symmetrize(edges), orientation="UNDIRECTED")
+        emb = g.nodes.select(
+            "vid",
+            F.array(
+                F.when(F.col("orig_id").startswith("l"), 1.0).otherwise(0.0),
+                F.when(F.col("orig_id").startswith("r"), 1.0).otherwise(0.0),
+            ).alias("embedding"),
+        )
+        model = train_link_prediction(
+            g, emb, feature_type="HADAMARD", learning_rate=1.0, max_iterations=30
+        )
+        assert model.train_metrics["train_accuracy"] > 0.9
+        vid = {r["orig_id"]: r["vid"] for r in g.nodes.collect()}
+        pairs = spark.createDataFrame(
+            [(vid["l0"], vid["l3"]), (vid["l0"], vid["r3"])], "src long, dst long"
+        )
+        scored = {
+            (r["src"], r["dst"]): r["probability"]
+            for r in predict_link_prediction(model, pairs, emb).collect()
+        }
+        assert scored[(vid["l0"], vid["l3"])] > scored[(vid["l0"], vid["r3"])] + 0.2
+
+    def test_negative_sampling_avoids_edges(self, spark):
+        from graph_data_science_spark.ml.linkpred import _negative_pairs
+
+        nodes, edges = fixtures.gnm(n=20, m=60, seed=21)
+        nodes = [str(n) for n in nodes]
+        edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges if a != b})]
+        g = _project(spark, nodes, edges)
+        neg = _negative_pairs(g, 30, seed=4)
+        eset = {(r["src"], r["dst"]) for r in g.edges.collect()}
+        got = [(r["src"], r["dst"]) for r in neg.collect()]
+        assert len(got) == 30
+        assert all(p not in eset and p[0] != p[1] for p in got)
+
+
+class TestNodeClassification:
+    def test_one_vs_rest_recovers_separable_labels(self, spark):
+        from graph_data_science_spark.ml.nodeclass import (
+            predict_node_classification,
+            train_node_classification,
+        )
+
+        rng = np.random.default_rng(8)
+        rows = []
+        for i in range(90):
+            c = i % 3
+            mu = [0.0, 0.0, 0.0]
+            mu[c] = 4.0
+            rows.append((i, [float(v) for v in rng.normal(size=3) + mu], f"c{c}"))
+        df = spark.createDataFrame(rows, "vid long, features array<double>, label string")
+        model = train_node_classification(df, learning_rate=1.0, max_iterations=25)
+        assert model.train_metrics["train_accuracy"] > 0.95
+        pred = {r["id"]: r["predicted"] for r in predict_node_classification(model, df).collect()}
+        right = sum(1 for i, _f, lab in rows if pred[i] == lab)
+        assert right / len(rows) > 0.95
+
+
+class TestModelCatalog:
+    def test_round_trip(self, spark, tmp_path):
+        from graph_data_science_spark.ml.models import ModelCatalog
+
+        cat = ModelCatalog(spark, str(tmp_path / "models"))
+        emb = spark.createDataFrame([(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vid long, embedding array<double>")
+        cat.store("m1", "node2vec", {"dim": 2, "weights": [0.5]}, {"embeddings": emb})
+        assert cat.exists("m1")
+        assert [m["name"] for m in cat.list()] == ["m1"]
+        meta, arts = cat.load("m1")
+        assert meta["type"] == "node2vec" and meta["params"]["dim"] == 2
+        got = sorted(tuple(r) for r in arts["embeddings"].collect())
+        assert got == [(0, [1.0, 2.0]), (1, [3.0, 4.0])]
+        assert cat.drop("m1") and not cat.exists("m1")
+
+
+class TestGraphSage:
+    def test_inference_shapes_and_determinism(self, spark):
+        from graph_data_science_spark.algorithms.graphsage import graph_sage
+
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        r1 = graph_sage(g, embedding_dimension=8, layers=2)
+        r2 = graph_sage(g, embedding_dimension=8, layers=2)
+        e1 = {r["vid"]: list(r["embedding"]) for r in r1.embeddings.collect()}
+        e2 = {r["vid"]: list(r["embedding"]) for r in r2.embeddings.collect()}
+        assert e1 == e2
+        assert all(len(v) == 8 for v in e1.values())
+        # final layer is L2-normalized (or zero)
+        for v in e1.values():
+            n = sum(x * x for x in v)
+            assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+    def test_supplied_model_matches_numpy(self, spark):
+        import numpy as np
+        from graph_data_science_spark.algorithms.graphsage import (
+            GraphSageModel,
+            graph_sage,
+        )
+
+        nodes, edges = fixtures.chain()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        vid = {r["orig_id"]: r["vid"] for r in g.nodes.collect()}
+        feats = {vid[n]: [1.0, float(i)] for i, n in enumerate(nodes)}
+        fdf = spark.createDataFrame(
+            [(v, f) for v, f in feats.items()], "vid long, features array<double>"
+        )
+        model = GraphSageModel(
+            layers=[{"w_self": [[1.0, 0.0], [0.0, 1.0]], "w_neigh": [[0.5, 0.5], [0.0, 1.0]]}]
+        )
+        res = graph_sage(g, features=fdf, model=model)
+        got = {r["vid"]: np.array(r["embedding"]) for r in res.embeddings.collect()}
+
+        adj = {}
+        for r in g.edges.select("src", "dst").distinct().collect():
+            adj.setdefault(r["dst"], []).append(r["src"])
+        ws, wn = np.array(model.layers[0]["w_self"]), np.array(model.layers[0]["w_neigh"])
+        for v in feats:
+            hv = np.array(feats[v])
+            nb = adj.get(v, [])
+            hb = np.mean([feats[u] for u in nb], axis=0) if nb else np.zeros(2)
+            z = np.maximum(ws @ hv + wn @ hb, 0.0)
+            nz = np.linalg.norm(z) or 1.0
+            assert np.allclose(got[v], z / nz, atol=1e-9)

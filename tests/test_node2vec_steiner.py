@@ -1,0 +1,213 @@
+"""Round-3 coverage: Node2Vec embeddings (SGNS≈SPPMI factorization over
+the biased-walk corpus) and the Mehlhorn 2-approx Steiner tree."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.node2vec import node2vec, skipgram_pairs
+from graph_data_science_spark.algorithms.steiner import steiner_tree
+from graph_data_science_spark.projection import project
+
+from tests import fixtures
+
+
+def _project(spark, nodes, edges, **kw):
+    df = fixtures.to_df(spark, nodes, edges)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id string")
+    return project(df, nodes=nodes_df, **kw)
+
+
+def _two_cliques(k=5):
+    """Two k-cliques joined by one bridge edge — the classic homophily
+    fixture: walk contexts stay inside a clique, so embeddings should."""
+    left = [f"l{i}" for i in range(k)]
+    right = [f"r{i}" for i in range(k)]
+    edges = []
+    for grp in (left, right):
+        for a, b in itertools.combinations(grp, 2):
+            edges.append((a, b, 1.0))
+    edges.append((left[0], right[0], 1.0))
+    return left + right, fixtures.symmetrize(edges)
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    da = sum(x * x for x in a) ** 0.5
+    db = sum(x * x for x in b) ** 0.5
+    return num / (da * db) if da > 0 and db > 0 else 0.0
+
+
+class TestNode2Vec:
+    def test_cliques_embed_closer_than_cross(self, spark):
+        nodes, edges = _two_cliques()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        res = node2vec(
+            g, embedding_dimension=32, walks_per_node=6, walk_length=8, window_size=4
+        )
+        rows = {
+            r["orig_id"]: list(r["embedding"])
+            for r in res.embeddings.join(g.nodes, "vid").collect()
+        }
+        left = [n for n in nodes if n.startswith("l")]
+        right = [n for n in nodes if n.startswith("r")]
+        intra = [
+            _cos(rows[a], rows[b])
+            for grp in (left, right)
+            for a, b in itertools.combinations(grp, 2)
+        ]
+        inter = [
+            _cos(rows[a], rows[b])
+            for a in left
+            for b in right
+            if not (a == "l0" and b == "r0")
+        ]
+        assert sum(intra) / len(intra) > sum(inter) / len(inter) + 0.1
+
+    def test_deterministic_and_normalized(self, spark):
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        r1 = node2vec(g, embedding_dimension=16, walks_per_node=3, walk_length=6)
+        r2 = node2vec(g, embedding_dimension=16, walks_per_node=3, walk_length=6)
+        e1 = {r["vid"]: list(r["embedding"]) for r in r1.embeddings.collect()}
+        e2 = {r["vid"]: list(r["embedding"]) for r in r2.embeddings.collect()}
+        assert e1 == e2
+        for v in e1.values():
+            n = sum(x * x for x in v)
+            assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+    def test_skipgram_pairs_match_python(self, spark):
+        nodes, edges = fixtures.chain()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        from graph_data_science_spark.algorithms.randomwalk import node2vec_walks
+
+        walks_df = node2vec_walks(g, walks_per_node=2, walk_length=5).walks
+        walks = {}
+        for r in walks_df.collect():
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["vid"]
+        expect = {}
+        w = 2
+        for steps in walks.values():
+            for s1, u in steps.items():
+                for s2, c in steps.items():
+                    if s1 != s2 and abs(s1 - s2) <= w:
+                        expect[(u, c)] = expect.get((u, c), 0) + 1
+        got = {
+            (r["u"], r["c"]): r["n"]
+            for r in skipgram_pairs(walks_df, window=w).collect()
+        }
+        assert got == expect
+
+
+def _python_opt_steiner(nodes, edges, terminals):
+    """Brute-force optimal Steiner weight: try every subset of optional
+    nodes, MST the induced subgraph, keep the best tree covering all
+    terminals in one component."""
+    import heapq
+
+    und = {}
+    for s, d, w in edges:
+        key = (min(s, d), max(s, d))
+        und[key] = min(und.get(key, float("inf")), w)
+
+    def mst_weight(sub):
+        sub = set(sub)
+        es = sorted(
+            (w, a, b) for (a, b), w in und.items() if a in sub and b in sub
+        )
+        parent = {v: v for v in sub}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        total, used = 0.0, 0
+        for w, a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                total += w
+                used += 1
+        roots = {find(t) for t in terminals}
+        if len(roots) != 1:
+            return float("inf")
+        # prune: MST of sub may include optional-node branches; contract
+        # by re-running on only nodes connected... for tiny graphs just
+        # accept (subset enumeration covers the minimal node set too)
+        return total
+
+    optional = [n for n in nodes if n not in terminals]
+    best = float("inf")
+    for r in range(len(optional) + 1):
+        for extra in itertools.combinations(optional, r):
+            best = min(best, mst_weight(set(terminals) | set(extra)))
+    return best
+
+
+class TestSteinerTree:
+    def _graph(self):
+        nodes = list(range(8))
+        edges = [
+            (0, 1, 2.0), (1, 2, 3.0), (2, 3, 1.0), (3, 4, 4.0),
+            (4, 5, 2.0), (5, 0, 7.0), (1, 6, 1.0), (6, 4, 1.0),
+            (2, 7, 5.0), (7, 5, 1.0),
+        ]
+        return nodes, edges
+
+    def test_tree_connects_terminals_within_2opt(self, spark):
+        nodes, edges = self._graph()
+        g = _project(spark, [str(n) for n in nodes], [(str(a), str(b), w) for a, b, w in edges])
+        terms = ["0", "3", "5"]
+        res = steiner_tree(g, terms[0], terms[1:])
+        tree = [(r["src"], r["dst"], r["weight"]) for r in res.edges.collect()]
+        # treeness: |E| = |V| - 1, connected, contains all terminals
+        vs = {v for e in tree for v in e[:2]}
+        assert len(tree) == len(vs) - 1
+        vid_of = {r["orig_id"]: r["vid"] for r in g.nodes.collect()}
+        for t in terms:
+            assert vid_of[t] in vs
+        adj = {}
+        for a, b, _ in tree:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        seen, stack = {tree[0][0]}, [tree[0][0]]
+        while stack:
+            u = stack.pop()
+            for v in adj.get(u, []):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        assert vs == seen
+        opt = _python_opt_steiner(nodes, edges, {0, 3, 5})
+        assert res.total_weight <= 2 * opt + 1e-9
+        assert res.total_weight >= opt - 1e-9
+
+    def test_chain_is_exact(self, spark):
+        nodes, edges = fixtures.chain()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        res = steiner_tree(g, "a", ["d"])
+        assert abs(res.total_weight - 3.0) < 1e-9
+        assert res.edges.count() == 3
+
+    def test_terminals_only_two(self, spark):
+        # Steiner with 2 terminals == shortest path
+        nodes, edges = self._graph()
+        g = _project(spark, [str(n) for n in nodes], [(str(a), str(b), w) for a, b, w in edges])
+        res = steiner_tree(g, "0", ["4"])
+        # 0-1 (2) + 1-6 (1) + 6-4 (1) = 4 is the shortest 0→4 path
+        assert abs(res.total_weight - 4.0) < 1e-9
+
+    def test_unreachable_terminal_partial(self, spark):
+        nodes, edges = fixtures.disconnected()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        res = steiner_tree(g, "a", ["d", "z"])  # z is isolated
+        # connects what it can (a..d chain), ignores the unreachable
+        assert res.total_weight >= 0.0
+        vids = {r["vid"] for r in g.nodes.filter(F.col("orig_id").isin("a", "d")).collect()}
+        vs = {v for r in res.edges.collect() for v in (r["src"], r["dst"])}
+        assert vids <= vs

@@ -212,3 +212,51 @@ class TestSpanningForest:
         # acyclic: |E| = |V| - #components; this fixture has 3 components
         # over 8 nodes (chain of 4, triangle of 3, isolated z)
         assert len(chosen) == 8 - 3
+
+
+def test_k1coloring_converged_flag(spark):
+    # ADVICE r2: exhausting max_iterations with recolors in the last
+    # round must be visible (converged=False) instead of silent.
+    nodes, edges = fixtures.two_triangles_bridge()
+    g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+    from graph_data_science_spark.algorithms.coloring import k1coloring
+
+    full = k1coloring(g)
+    assert full.converged is True
+    truncated = k1coloring(g, max_iterations=1)
+    # the single round recolors nodes (everyone starts at color 0), so
+    # exit-with-recolors must be flagged
+    assert truncated.converged is False
+
+
+class TestGraphGenerate:
+    def test_deterministic_and_shaped(self, spark):
+        from graph_data_science_spark.sources.generate import generate_graph
+
+        a = generate_graph(spark, 50, average_degree=3.0).collect()
+        b = generate_graph(spark, 50, average_degree=3.0).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == 150
+        assert all(0 <= r["src"] < 50 and 0 <= r["dst"] < 50 for r in a)
+        assert all(r["src"] != r["dst"] for r in a)  # self-loops re-aimed
+
+    def test_power_law_concentrates_in_degree(self, spark):
+        from pyspark.sql import functions as F
+        from graph_data_science_spark.sources.generate import generate_graph
+
+        uni = generate_graph(spark, 200, 5.0, "UNIFORM")
+        pl = generate_graph(spark, 200, 5.0, "POWER_LAW", power_law_exponent=3.0)
+
+        def top10_share(df):
+            deg = df.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+            rows = sorted((r["d"] for r in deg.collect()), reverse=True)
+            return sum(rows[:10]) / sum(rows)
+
+        assert top10_share(pl) > top10_share(uni) + 0.2
+
+    def test_seed_changes_graph(self, spark):
+        from graph_data_science_spark.sources.generate import generate_graph
+
+        a = {tuple(r) for r in generate_graph(spark, 50, 3.0, relationship_seed=1).collect()}
+        b = {tuple(r) for r in generate_graph(spark, 50, 3.0, relationship_seed=2).collect()}
+        assert a != b
