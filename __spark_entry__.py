@@ -496,9 +496,10 @@ def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core decomposition on the undirected derived graph (rows-only:
-    iterative peeling has no tractable SQL twin; pinned against a
-    sequential-peeling oracle in tests/test_algorithms_breadth.py)."""
+    """K-core decomposition on the undirected derived graph —
+    oracle-checked: the engine's h-operator iteration unrolls directly in
+    SQL (same monotone fixpoint; also pinned against a sequential-peeling
+    oracle in tests/test_algorithms_breadth.py)."""
     from graph_data_science_spark.algorithms.kcore import k_core
     from graph_data_science_spark.projection import project
 
@@ -1138,13 +1139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sampled": q_closeness_sampled,
         "dag_levels": q_dag_levels,
         "collapse_path": q_collapse_path,
+        "kcore": q_kcore,
         # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "label_propagation": q_label_propagation,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
         "yens_k": q_yens_k,
-        "kcore": q_kcore,
         "louvain": q_louvain,
         "leiden": q_leiden,
         "fastrp": q_fastrp,
@@ -1592,6 +1593,49 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (node_id)
     return "".join(parts)
 
 
+KCORE_ROUNDS = 24  # ≥ engine fixpoint rounds at sf0.01 (converges ≲ 10)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled h-operator iteration (Montresor et al. 2011 — the exact
+    algorithm the engine runs, kcore.py): core₀ = degree; each round
+    core(v) ← h-index of neighbor cores, computed as
+    max(min(row_number_desc, c)) — order-independent, so both engines
+    reach the identical monotone fixpoint; KCORE_ROUNDS rounds ≥ both
+    sides' convergence point."""
+    parts = [
+        _UND_CTE
+        + """
+, knodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM und WHERE src <> dst)
+, kc0 AS MATERIALIZED (
+    SELECT node_id, (SELECT count(*) FROM und e WHERE e.dst = knodes.node_id AND e.src <> e.dst) AS core
+    FROM knodes
+)"""
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""
+, kc{i} AS MATERIALIZED (
+    SELECT s.node_id, least(s.core, coalesce(h.h, 0)) AS core
+    FROM kc{i - 1} s LEFT JOIN (
+        SELECT vid AS node_id, max(least(rn, c_src)) AS h FROM (
+            SELECT e.dst AS vid, c.core AS c_src,
+                   row_number() OVER (PARTITION BY e.dst ORDER BY c.core DESC) AS rn
+            FROM und e JOIN kc{i - 1} c ON c.node_id = e.src AND e.src <> e.dst
+        ) GROUP BY vid
+    ) h ON h.node_id = s.node_id
+)"""
+        )
+    parts.append(
+        f"""
+, allnodes AS (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM und UNION ALL SELECT dst AS node_id FROM und))
+SELECT a.node_id, coalesce(k.core, 0)::BIGINT AS core
+FROM allnodes a LEFT JOIN kc{KCORE_ROUNDS} k USING (node_id)
+"""
+    )
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -1874,6 +1918,7 @@ WITH scored AS (
 SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
 """,
         "hits": _hits_oracle(),
+        "kcore": _kcore_oracle(),
         # label_propagation: rows-only (iterative weighted argmax; no SQL twin)
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,

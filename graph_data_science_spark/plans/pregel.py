@@ -65,15 +65,23 @@ def run_pregel(
     exact-parity and resume guarantees (SURVEY.md §2.C.6).
 
     ``fused_supersteps=k`` chains k supersteps into one materialized Spark
-    job: the logical plan grows ~2^k (state feeds each step twice) but for
-    k ≤ 4 planning stays cheap, while the fixed per-job cost — scheduling
-    barriers, state write, metrics pass — is paid once per k supersteps
-    instead of every superstep (measured ~0.9 s/superstep fixed at 13M
-    edges). Results are IDENTICAL superstep-for-superstep; only the
-    convergence check and checkpoint cadence become k-granular, so a
-    tolerance run may execute up to k−1 supersteps past the fixpoint
-    (harmless: the state is already stationary there). Parity runs use
-    k=1.
+    job: the fixed per-job cost — scheduling barriers, state write,
+    metrics pass — is paid once per k supersteps instead of every
+    superstep (measured ~0.9 s/superstep fixed at 13M edges). Results are
+    IDENTICAL superstep-for-superstep; only the convergence check and
+    checkpoint cadence become k-granular, so a tolerance run may execute
+    up to k−1 supersteps past the fixpoint (harmless: the state is
+    already stationary there). Parity runs use k=1.
+
+    Implementation note (round 3): a step_fn references its input state
+    more than once (message join + state join), and Spark has no
+    common-subplan execution sharing — naively chaining therefore
+    re-executed earlier supersteps ~2× per level (measured 4× total
+    compute at k=4 on 27M edges). The loop now inserts a LAZY
+    ``localCheckpoint`` between chained steps so every reference shares
+    one persisted RDD: the fused job computes each superstep exactly
+    once, and intermediates are unpersisted after the block
+    materializes.
     """
     history: list[dict] = []
     start_iter = 0
@@ -105,12 +113,26 @@ def run_pregel(
         while i < max_iterations:
             chain = step_fn(state, i)
             steps_done = 1
+            fused_intermediates = []
             while steps_done < k and i + steps_done < max_iterations:
+                # Lazy localCheckpoint: the next step references its input
+                # twice (message join + state join); sharing ONE persisted
+                # RDD across those references makes the fused job compute
+                # each superstep exactly once — without it the chain
+                # re-executes earlier supersteps ~2× per level (measured
+                # 4× total compute at k=4 on 27M edges).
+                chain = chain.localCheckpoint(eager=False)
+                fused_intermediates.append(chain)
                 chain = step_fn(chain, i + steps_done)
                 steps_done += 1
             new_state = _materialize(chain, eager=metrics_fn is None)
             i += steps_done
             m = metrics_fn(new_state, i - 1) if metrics_fn is not None else {}
+            # new_state is materialized by now (eagerly above, or by the
+            # metrics action) — the fused intermediates are no longer
+            # reachable through live lineage and can release their cache
+            for df in fused_intermediates:
+                df.unpersist()
             m = dict(m, superstep=i - 1)
             history.append(m)
             state.unpersist()

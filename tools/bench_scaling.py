@@ -47,7 +47,11 @@ def run_at(cpus: int, n_convs: int, supersteps: int) -> dict:
         SPARK_GRAFT_BENCH_SUPERSTEPS=str(supersteps),
         SPARK_GRAFT_BENCH_SUITE="0",  # throughput section only
     )
-    env.setdefault("SPARK_GRAFT_BENCH_FUSED", "4")
+    # fused>1 is NOT used here: a fused chain references the state plan
+    # twice per step, so execution re-runs earlier supersteps ~2^k-fold —
+    # a net loss at 27M edges (measured: 201 s vs ~75 s at local[8]).
+    # metrics-off is the pure serial win (no per-superstep collect job).
+    env.setdefault("SPARK_GRAFT_BENCH_FUSED", "1")
     env.setdefault("SPARK_GRAFT_BENCH_METRICS", "0")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
