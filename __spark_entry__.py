@@ -1088,6 +1088,23 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS preorder from the smallest node id (distributed reachability +
+    bounded driver walk — DFS order is inherently sequential; see
+    algorithms/dfs.py honesty note). Rows-only: visit order has no SQL
+    twin; recursive-python preorder parity pinned in
+    tests/test_node2vec_steiner.py."""
+    from graph_data_science_spark.algorithms.dfs import dfs
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_dfs")
+    src = g.nodes.agg(F.min("orig_id")).collect()[0][0]
+    res = dfs(g, src)
+    return res.visits.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), "visit_order"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1164,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence_celf": q_influence_celf,
         "max_kcut": q_max_kcut,
         "link_prediction": q_link_prediction,
+        "dfs": q_dfs,
     }
 
 

@@ -581,6 +581,24 @@ class _GraphOps:
         return self.project(name, edges)
 
 
+class _DfsProc:
+    """``gds.dfs`` — deterministic preorder; distributed reachability +
+    bounded driver walk (see algorithms/dfs.py honesty note)."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, source_node, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.dfs import dfs
+
+        res = dfs(graph, source_node, **config)
+        return (
+            res.visits.join(graph.nodes, "vid")
+            .select(F.col("orig_id").alias("node_id"), "visit_order")
+            .orderBy("visit_order")
+        )
+
+
 class _GraphSageProc:
     """``gds.beta.graphSage`` — inference/stream path (train imports via
     the model catalog; see algorithms/graphsage.py scope note)."""
@@ -702,6 +720,7 @@ class SparkGDS:
         self.node_classification = _NodeClassificationProc(self)
         self.max_k_cut = _MaxKCutProc(self)
         self.graph_sage = _GraphSageProc(self)
+        self.dfs = _DfsProc(self)
 
     def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:
         from graph_data_science_spark.algorithms.louvain import modularity

@@ -211,3 +211,50 @@ class TestSteinerTree:
         vids = {r["vid"] for r in g.nodes.filter(F.col("orig_id").isin("a", "d")).collect()}
         vs = {v for r in res.edges.collect() for v in (r["src"], r["dst"])}
         assert vids <= vs
+
+
+class TestDfs:
+    def _recursive_preorder(self, adj, src, max_depth=None):
+        order = []
+        seen = set()
+
+        def go(v, d):
+            seen.add(v)
+            order.append(v)
+            if max_depth is not None and d >= max_depth:
+                return
+            for w in sorted(adj.get(v, [])):
+                if w not in seen:
+                    go(w, d + 1)
+
+        go(src, 0)
+        return order
+
+    def test_preorder_matches_recursive_python(self, spark):
+        from graph_data_science_spark.algorithms.dfs import dfs
+
+        nodes, edges = fixtures.gnm(n=25, m=80, seed=41)
+        nodes = [str(n) for n in nodes]
+        edges = [(s, d, 1.0) for s, d in sorted({(str(a), str(b)) for a, b, _ in edges if a != b})]
+        g = _project(spark, nodes, edges)
+        vid = {r["orig_id"]: r["vid"] for r in g.nodes.collect()}
+        src_name = nodes[0]
+        res = dfs(g, src_name)
+        got = [r["vid"] for r in res.visits.orderBy("visit_order").collect()]
+        adj = {}
+        for r in g.edges.select("src", "dst").distinct().collect():
+            if r["src"] != r["dst"]:
+                adj.setdefault(r["src"], []).append(r["dst"])
+        want = self._recursive_preorder(adj, vid[src_name])
+        assert got == want
+
+    def test_max_depth_limits_and_bound_raises(self, spark):
+        import pytest as _pytest
+        from graph_data_science_spark.algorithms.dfs import dfs
+
+        nodes, edges = fixtures.chain()
+        g = _project(spark, nodes, edges)
+        res = dfs(g, "a", max_depth=1)
+        assert res.visited_count == 2  # a, b
+        with _pytest.raises(ValueError):
+            dfs(g, "a", max_nodes=1)
