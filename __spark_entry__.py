@@ -189,8 +189,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sync LPA (deterministic max-weight/min-label tie-break); labels
-    canonicalized to min member id. Rows-only check (iterative argmax is
-    not reasonably SQL-expressible)."""
+    canonicalized to min member id. Oracle: unrolled sync vote iteration
+    (``_lpa_oracle``)."""
     from graph_data_science_spark.algorithms.labelprop import label_propagation
     from graph_data_science_spark.projection import project
 
@@ -634,10 +634,10 @@ def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sampled Brandes betweenness (6 deterministic sources). Rows-only:
-    the per-source two-pass accumulation has no tractable SQL twin; exact
-    and sampled variants are pinned against a pure-Python Brandes oracle
-    in tests/test_betweenness.py."""
+    """Sampled Brandes betweenness (6 deterministic sources). Oracle:
+    Brandes pair identity over unrolled all-pairs dist/σ tables
+    (``_betweenness_oracle``); also pinned against a pure-Python Brandes
+    oracle in tests/test_betweenness.py."""
     from graph_data_science_spark.algorithms.betweenness import betweenness
     from graph_data_science_spark.projection import project
 
@@ -761,9 +761,9 @@ def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic K-Means (k=10, Lloyd's, min-id init/tie-break) over
-    the embeddings table → (vec_id, cluster, distance). Rows-only: the
-    iterative centroid updates have no tractable SQL twin; pinned against
-    a numpy Lloyd's oracle in tests/test_kmeans.py."""
+    the embeddings table → (vec_id, cluster, distance). Oracle: unrolled
+    Lloyd's in SQL (``_kmeans_oracle``); also pinned against a numpy
+    Lloyd's oracle in tests/test_kmeans.py."""
     from graph_data_science_spark.operators.kmeans import k_means
 
     res = k_means(_embeddings(spark, sf_dir), k=10, max_iterations=8)
@@ -1157,8 +1157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_levels": q_dag_levels,
         "collapse_path": q_collapse_path,
         "kcore": q_kcore,
-        # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "label_propagation": q_label_propagation,
+        "betweenness": q_betweenness,
+        "kmeans": q_kmeans,
+        # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
@@ -1167,8 +1169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden": q_leiden,
         "fastrp": q_fastrp,
         "random_walk": q_random_walk,
-        "betweenness": q_betweenness,
-        "kmeans": q_kmeans,
         "k1coloring": q_k1coloring,
         "graph_sample_rwr": q_graph_sample_rwr,
         "node2vec_walks": q_node2vec_walks,
@@ -1654,6 +1654,181 @@ FROM allnodes a LEFT JOIN kc{KCORE_ROUNDS} k USING (node_id)
     return "".join(parts)
 
 
+def _betweenness_oracle(n_sources: int = 6, rounds: int = BF_ROUNDS) -> str:
+    """Sampled Brandes betweenness via the pair identity
+    ``δ_s(v) = Σ_t [d(s,v)+d(v,t)=d(s,t)] · σ(s,v)·σ(v,t)/σ(s,t)``
+    (Brandes 2001, Thm. 6) instead of the engine's two-pass accumulation:
+    all-pairs hop distances by ``rounds`` unrolled sparse min-relaxations,
+    then path counts σ by the same number of level-DP rounds (σ(s,t) is
+    recomputed each round from shortest-path predecessors only, so round i
+    is exact for every pair at distance ≤ i), then one three-way self-join
+    restricted to the engine's deterministic sample: the ``n_sources``
+    smallest node ids (betweenness.py — vid order = node_id order)."""
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + """
+, bd0 AS MATERIALIZED (SELECT node_id AS src, node_id AS node, 0 AS dist FROM nodes)
+"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", bd{i + 1} AS MATERIALIZED (
+    SELECT src, node, min(dist) AS dist FROM (
+        SELECT src, node, dist FROM bd{i}
+        UNION ALL
+        SELECT d.src, e.dst AS node, d.dist + 1 AS dist
+        FROM edges e JOIN bd{i} d ON d.node = e.src
+    ) GROUP BY src, node
+)"""
+        )
+    parts.append(
+        f""", bs0 AS MATERIALIZED (SELECT node_id AS src, node_id AS node, 1.0::DOUBLE AS sigma FROM nodes)"""
+    )
+    for i in range(rounds):
+        parts.append(
+            f""", bs{i + 1} AS MATERIALIZED (
+    SELECT src, node, sigma FROM bs0
+    UNION ALL
+    SELECT * FROM (
+        SELECT p.src, e.dst AS node, sum(p.sigma) AS sigma
+        FROM edges e
+        JOIN bs{i} p ON p.node = e.src
+        JOIN bd{rounds} du ON du.src = p.src AND du.node = e.src
+        JOIN bd{rounds} dv ON dv.src = p.src AND dv.node = e.dst AND dv.dist = du.dist + 1
+        GROUP BY p.src, e.dst
+    )
+)"""
+        )
+    parts.append(
+        f"""
+, bsrc AS (SELECT node_id FROM nodes ORDER BY node_id LIMIT {n_sources})
+, bss AS MATERIALIZED (
+    SELECT d.src, d.node, d.dist, s.sigma
+    FROM bd{rounds} d JOIN bs{rounds} s ON s.src = d.src AND s.node = d.node
+)
+, bcontrib AS (
+    SELECT a.node AS v, sum(a.sigma * b.sigma / c.sigma) AS score
+    FROM bss a
+    JOIN bsrc ON a.src = bsrc.node_id
+    JOIN bss b ON b.src = a.node
+    JOIN bss c ON c.src = a.src AND c.node = b.node AND c.dist = a.dist + b.dist
+    WHERE a.node <> a.src AND b.node <> b.src AND b.node <> a.src
+    GROUP BY a.node
+)
+SELECT n.node_id, round(coalesce(ct.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN bcontrib ct ON ct.v = n.node_id
+"""
+    )
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 10, iters: int = 8) -> str:
+    """Unrolled deterministic Lloyd's — the exact semantics the engine
+    runs (kmeans.py): init = vectors of the ``k`` smallest vec_ids
+    (cluster id = rank in that order), assign = argmin squared L2 with
+    (d², cid) tie-break, update = per-dim mean with empty clusters keeping
+    their centroid. The engine's loop assigns against the centroids of
+    the PREVIOUS update (output after ``iters`` iterations = assignment
+    vs c_{iters-1}), so the twin unrolls ``iters-1`` updates and one
+    final assignment. Float-sum association differs between engines by
+    ~1e-14 — far inside the 6dp output rounding and the synthetic
+    clusters' assignment margins."""
+    parts = [
+        f"""
+WITH kpts AS MATERIALIZED (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), kc0 AS MATERIALIZED (
+    SELECT (row_number() OVER (ORDER BY id))::INT - 1 AS cid, v AS cv
+    FROM (SELECT id, v FROM kpts ORDER BY id LIMIT {k})
+)"""
+    ]
+
+    def assign(i: int) -> str:
+        return f""", ka{i} AS MATERIALIZED (
+    SELECT id, v, cid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM (
+            SELECT p.id, p.v, c.cid,
+                   (SELECT sum((a - b) * (a - b))
+                    FROM (SELECT unnest(p.v) AS a, unnest(c.cv) AS b) z) AS d2
+            FROM kpts p CROSS JOIN kc{i} c
+        )
+    ) WHERE rn = 1
+)"""
+
+    for i in range(iters - 1):
+        parts.append(assign(i))
+        parts.append(
+            f""", km{i} AS (
+    SELECT cluster, list(m ORDER BY dim) AS cv FROM (
+        SELECT cluster, dim, avg(x) AS m FROM (
+            SELECT cid AS cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+            FROM ka{i}
+        ) GROUP BY cluster, dim
+    ) GROUP BY cluster
+), kc{i + 1} AS MATERIALIZED (
+    SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+    FROM kc{i} c LEFT JOIN km{i} m ON m.cluster = c.cid
+)"""
+        )
+    parts.append(assign(iters - 1))
+    parts.append(
+        f"""
+SELECT id AS vec_id, cid AS cluster, round(sqrt(d2), 6) AS distance
+FROM ka{iters - 1}
+"""
+    )
+    return "".join(parts)
+
+
+def _lpa_oracle(iters: int = 10) -> str:
+    """Unrolled synchronous label propagation — the exact semantics the
+    engine runs (labelprop.py): every node adopts the label with the most
+    neighbor votes over the undirected projection (one vote per distinct
+    neighbor pair — undirect_edges collapses parallel edges), ties broken
+    by minimum label. Labels live in node_id space here while the engine
+    uses dense vids, but vid = dense rank of node_id (projection.py IdMap)
+    so min-vid tie-breaks equal min-node_id tie-breaks and the final
+    min-member canonicalization makes the two label spaces comparable.
+    Sync LPA is a fixpoint once no label changes, so unrolling the full
+    ``iters`` matches the engine's early-stop variant exactly."""
+    parts = [
+        _UND_CTE
+        + """
+, lnodes AS MATERIALIZED (
+    SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM und UNION ALL SELECT dst AS node_id FROM und)
+)
+, lp0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM lnodes)
+"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", lp{i + 1} AS MATERIALIZED (
+    SELECT p.node_id, coalesce(w.new_label, p.label) AS label
+    FROM lp{i} p LEFT JOIN (
+        SELECT node_id, label AS new_label FROM (
+            SELECT v.node_id, v.label,
+                   row_number() OVER (PARTITION BY v.node_id ORDER BY v.vote DESC, v.label ASC) AS rn
+            FROM (
+                SELECT e.dst AS node_id, s.label, count(*) AS vote
+                FROM und e JOIN lp{i} s ON s.node_id = e.src
+                GROUP BY e.dst, s.label
+            ) v
+        ) WHERE rn = 1
+    ) w ON w.node_id = p.node_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT p.node_id, c.community_id
+FROM lp{iters} p JOIN (
+    SELECT label, min(node_id) AS community_id FROM lp{iters} GROUP BY label
+) c ON c.label = p.label
+"""
+    )
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -1937,7 +2112,9 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
 """,
         "hits": _hits_oracle(),
         "kcore": _kcore_oracle(),
-        # label_propagation: rows-only (iterative weighted argmax; no SQL twin)
+        "label_propagation": _lpa_oracle(),
+        "betweenness": _betweenness_oracle(),
+        "kmeans": _kmeans_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as
