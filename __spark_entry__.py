@@ -1105,6 +1105,59 @@ def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford with NEGATIVE edge weights (reference
+    ``gds.bellmanFord``): the acyclic src<dst subgraph reweighted by
+    weight−2 (negatives guaranteed, negative cycles impossible — the
+    subgraph has no cycles at all), source = its min node id. Oracle:
+    unrolled negative-weight relaxation (``_bellman_ford_oracle``)."""
+    from graph_data_science_spark.algorithms.paths import bellman_ford
+    from graph_data_science_spark.projection import project
+
+    e = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("weight", F.col("weight") - F.lit(2.0))
+    )
+    g = project(e, name="entry_bford")
+    src = g.nodes.agg(F.min("orig_id")).collect()[0][0]
+    res = bellman_ford(g, [src])
+    assert not res.negative_cycle
+    return res.distances.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), F.round("distance", 6).alias("distance")
+    )
+
+
+def q_topology_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology link-prediction scores (reference
+    ``gds.alpha.linkprediction.*``: adamicAdar / commonNeighbors /
+    resourceAllocation / preferentialAttachment / totalNeighbors) over
+    the undirected projection, pairs with ≥2 common neighbors. Oracle:
+    direct SQL over the same inverted-index formulation."""
+    from graph_data_science_spark.algorithms.linkpred_topology import (
+        topology_link_prediction,
+    )
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_lptopo", orientation="UNDIRECTED")
+    pairs = topology_link_prediction(g, min_common_neighbors=2)
+    m1 = g.nodes.select(F.col("vid").alias("node1"), F.col("orig_id").alias("_n1"))
+    m2 = g.nodes.select(F.col("vid").alias("node2"), F.col("orig_id").alias("_n2"))
+    return (
+        pairs.join(m1, "node1")
+        .join(m2, "node2")
+        .select(
+            F.col("_n1").alias("node1"),
+            F.col("_n2").alias("node2"),
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+            F.round("resource_allocation", 6).alias("resource_allocation"),
+            "preferential_attachment",
+            "total_neighbors",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1160,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "betweenness": q_betweenness,
         "kmeans": q_kmeans,
+        "bellman_ford": q_bellman_ford,
+        "topology_linkpred": q_topology_linkpred,
         # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1829,6 +1884,63 @@ FROM lp{iters} p JOIN (
     return "".join(parts)
 
 
+def _bellman_ford_oracle(rounds: int = DAG_ROUNDS) -> str:
+    """Unrolled negative-weight Bellman-Ford on the acyclic src<dst
+    subgraph reweighted by weight−2 (matches ``q_bellman_ford``): the
+    subgraph is a DAG, so no negative cycles exist, distances converge
+    within its depth (< DAG_ROUNDS), and frontier supersteps equal full
+    relaxation rounds — both sides hit the same fixpoint exactly
+    (weights are integer counts shifted by 2, exact in doubles)."""
+    parts = [
+        _EDGES_CTE
+        + f"""
+, bfe AS MATERIALIZED (SELECT src, dst, weight - 2.0 AS weight FROM edges WHERE src < dst)
+, bfn AS MATERIALIZED (
+    SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM bfe UNION ALL SELECT dst AS node_id FROM bfe)
+)
+, bfsrc AS (SELECT min(node_id) AS s FROM bfn)
+, bf0 AS (
+    SELECT node_id,
+           CASE WHEN node_id = (SELECT s FROM bfsrc) THEN 0.0 ELSE {_INF} END AS dist
+    FROM bfn
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", bf{i + 1} AS MATERIALIZED (
+    SELECT n.node_id, least(n.dist, coalesce(m.best, {_INF})) AS dist
+    FROM bf{i} n LEFT JOIN (
+        SELECT e.dst AS node_id, min(d.dist + e.weight) AS best
+        FROM bfe e JOIN bf{i} d ON d.node_id = e.src AND d.dist < {_INF}
+        GROUP BY e.dst
+    ) m ON m.node_id = n.node_id
+)"""
+        )
+    parts.append(
+        f"\nSELECT node_id, round(dist, 6) AS distance FROM bf{rounds} WHERE dist < {_INF}"
+    )
+    return "".join(parts)
+
+
+_LINKPRED_TOPO_ORACLE = _UND_CTE + """
+, lpadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM und)
+, lpdeg AS MATERIALIZED (SELECT src, count(*) AS sz FROM lpadj GROUP BY src)
+, lppairs AS (
+    SELECT a.src AS node1, b.src AS node2, count(*) AS cn,
+           sum(1.0 / ln(z.sz)) AS aa, sum(1.0 / z.sz) AS ra
+    FROM lpadj a JOIN lpadj b ON a.dst = b.dst AND a.src < b.src
+    JOIN lpdeg z ON z.src = a.dst
+    GROUP BY a.src, b.src
+    HAVING count(*) >= 2
+)
+SELECT node1, node2, cn AS common_neighbors,
+       round(aa, 6) AS adamic_adar, round(ra, 6) AS resource_allocation,
+       (d1.sz * d2.sz)::BIGINT AS preferential_attachment,
+       (d1.sz + d2.sz - cn)::BIGINT AS total_neighbors
+FROM lppairs JOIN lpdeg d1 ON d1.src = node1 JOIN lpdeg d2 ON d2.src = node2
+"""
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -2115,6 +2227,8 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "label_propagation": _lpa_oracle(),
         "betweenness": _betweenness_oracle(),
         "kmeans": _kmeans_oracle(),
+        "bellman_ford": _bellman_ford_oracle(),
+        "topology_linkpred": _LINKPRED_TOPO_ORACLE,
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

@@ -71,13 +71,16 @@ def _relax(
     sources_are_vids: bool = False,
     excluded_nodes=None,
     excluded_edges=None,
+    allow_negative: bool = False,
 ) -> PathResult:
-    if weighted and edge_plan is None:
+    if weighted and edge_plan is None and not allow_negative:
         neg = graph.edges.filter(F.col("weight") < 0).limit(1).count()
         if neg:
             raise ValueError("sssp requires non-negative edge weights")
     plan = edge_plan or EdgePlan(graph.edges)
-    if sources_are_vids:
+    if isinstance(sources, DataFrame):
+        srcs = sources.select("vid")
+    elif sources_are_vids:
         srcs = graph.nodes.sparkSession.createDataFrame(
             [(int(s),) for s in sources], "vid long"
         )
@@ -147,6 +150,90 @@ def sssp(
 ) -> PathResult:
     """Weighted shortest-path distance from the source set → (vid, distance)."""
     return _relax(graph, sources, weighted=True, max_iterations=max_iterations, edge_plan=edge_plan)
+
+
+@dataclass
+class BellmanFordResult:
+    distances: DataFrame  # (vid, distance); -inf on/downstream of a neg cycle
+    iterations: int
+    negative_cycle: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def bellman_ford(
+    graph: ProjectedGraph,
+    sources,
+    max_iterations: int | None = None,
+) -> BellmanFordResult:
+    """Bellman-Ford SSSP (reference ``gds.bellmanFord``, SURVEY.md §2.D
+    Path): weighted shortest paths allowing NEGATIVE edge weights, with
+    negative-cycle detection.
+
+    Same label-correcting frontier loop as :func:`sssp` (the BSP relax IS
+    distributed Bellman-Ford — each superstep relaxes every edge leaving
+    the changed frontier, map-side min-combined), minus the non-negativity
+    guard, capped at ``node_count`` supersteps: a shortest simple path has
+    ≤ n−1 edges, so an improvement in superstep n proves a negative cycle
+    reachable from the source set (the reference flags such routes as
+    negativeCycle). When one is detected, every node reachable from the
+    still-improving frontier gets distance −inf — those labels would
+    otherwise be arbitrary mid-iteration values; −inf is the well-defined
+    infimum and makes the output deterministic. One extra BFS, only in
+    the cycle case.
+    """
+    n = max(graph.node_count, 1)
+    cap = n if max_iterations is None else min(max_iterations, n)
+    res = _relax(
+        graph,
+        sources,
+        weighted=True,
+        max_iterations=cap,
+        allow_negative=True,
+    )
+    neg = bool(
+        res.iterations >= cap
+        and res.metrics
+        and res.metrics[-1].get("changed", 0) > 0
+    )
+    dist = res.distances
+    if neg:
+        # Seed the poisoned region: nodes whose label still improves in
+        # one more relax round over the converged-at-cap distances; BFS
+        # from them marks everything downstream of a negative cycle.
+        plan = EdgePlan(graph.edges)
+        msgs = plan.messages(
+            dist.select("vid", F.col("distance").alias("dist")),
+            {"m": F.col("dist") + F.col("weight")},
+            {"m": F.min("m")},
+        )
+        seeds = (
+            dist.join(msgs, "vid", "left")
+            .filter(F.col("m") < F.col("distance"))
+            .select("vid")
+        )
+        reach = _relax(
+            graph,
+            seeds,
+            weighted=False,
+            max_iterations=n,
+            edge_plan=plan,
+        )
+        plan.unpersist()
+        dist = (
+            dist.join(reach.distances.select("vid").withColumn("_p", F.lit(1)), "vid", "left")
+            .select(
+                "vid",
+                F.when(F.col("_p").isNotNull(), F.lit(float("-inf")))
+                .otherwise(F.col("distance"))
+                .alias("distance"),
+            )
+        )
+    return BellmanFordResult(
+        distances=dist,
+        iterations=res.iterations,
+        negative_cycle=neg,
+        metrics=res.metrics,
+    )
 
 
 # ------------------------------------------------- source-target queries --

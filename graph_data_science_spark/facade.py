@@ -599,6 +599,46 @@ class _DfsProc:
         )
 
 
+class _BellmanFordProc(_Proc):
+    """``gds.bellmanFord`` — negative-weight SSSP with cycle detection."""
+
+    value_cols = ["distance"]
+
+    def _run(self, graph, source_node=None, **config):
+        from graph_data_science_spark.algorithms.paths import bellman_ford
+
+        res = bellman_ford(graph, [source_node], **config)
+        stats = {
+            "ran_iterations": res.iterations,
+            "contains_negative_cycle": res.negative_cycle,
+        }
+        return res.distances, stats
+
+
+class _TopologyLinkPredictionProc:
+    """``gds.alpha.linkprediction.*`` batch scores — adamicAdar,
+    commonNeighbors, resourceAllocation, preferentialAttachment,
+    totalNeighbors, sameCommunity over every witnessed pair."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def stream(self, graph: ProjectedGraph, **config) -> DataFrame:
+        from graph_data_science_spark.algorithms.linkpred_topology import (
+            topology_link_prediction,
+        )
+
+        pairs = topology_link_prediction(graph, **config)
+        m1 = graph.nodes.select(F.col("vid").alias("node1"), F.col("orig_id").alias("_n1"))
+        m2 = graph.nodes.select(F.col("vid").alias("node2"), F.col("orig_id").alias("_n2"))
+        rest = [c for c in pairs.columns if c not in ("node1", "node2")]
+        return (
+            pairs.join(m1, "node1")
+            .join(m2, "node2")
+            .select(F.col("_n1").alias("node1"), F.col("_n2").alias("node2"), *rest)
+        )
+
+
 class _GraphSageProc:
     """``gds.beta.graphSage`` — inference/stream path (train imports via
     the model catalog; see algorithms/graphsage.py scope note)."""
@@ -721,6 +761,8 @@ class SparkGDS:
         self.max_k_cut = _MaxKCutProc(self)
         self.graph_sage = _GraphSageProc(self)
         self.dfs = _DfsProc(self)
+        self.bellman_ford = _BellmanFordProc(self)
+        self.linkprediction = _TopologyLinkPredictionProc(self)
 
     def modularity(self, graph: ProjectedGraph, communities: DataFrame, **kw) -> float:
         from graph_data_science_spark.algorithms.louvain import modularity

@@ -1,0 +1,174 @@
+"""Golden tests for Bellman-Ford (negative weights + cycle detection)
+and topology link-prediction scores vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.linkpred_topology import (
+    topology_link_prediction,
+)
+from graph_data_science_spark.algorithms.paths import bellman_ford
+from graph_data_science_spark.projection import project
+
+from tests import fixtures
+
+
+def _project(spark, nodes, edges, **kw):
+    df = fixtures.to_df(spark, nodes, edges)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id string")
+    return project(df, nodes=nodes_df, **kw)
+
+
+def _by_orig(g, df, col):
+    rows = df.join(g.nodes, "vid").select("orig_id", col).collect()
+    return {r["orig_id"]: r[col] for r in rows}
+
+
+def _python_bellman_ford(nodes, edges, src):
+    dist = {n: math.inf for n in nodes}
+    dist[src] = 0.0
+    for _ in range(len(nodes)):
+        for s, d, w in edges:
+            if dist[s] + w < dist[d]:
+                dist[d] = dist[s] + w
+    return {n: v for n, v in dist.items() if v < math.inf}
+
+
+class TestBellmanFord:
+    def test_negative_weights_no_cycle(self, spark):
+        nodes = list("abcde")
+        # DAG with negatives: the cheap route a->b->c->d beats a->d direct
+        edges = [
+            ("a", "b", 2.0),
+            ("b", "c", -3.0),
+            ("c", "d", 1.0),
+            ("a", "d", 5.0),
+            ("d", "e", -1.0),
+        ]
+        g = _project(spark, nodes, edges)
+        res = bellman_ford(g, ["a"])
+        assert res.negative_cycle is False
+        got = _by_orig(g, res.distances, "distance")
+        assert got == _python_bellman_ford(nodes, edges, "a")
+        assert got["d"] == 0.0 and got["e"] == -1.0
+
+    def test_positive_weights_matches_sssp_semantics(self, spark):
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges)
+        res = bellman_ford(g, ["a"])
+        assert res.negative_cycle is False
+        assert _by_orig(g, res.distances, "distance") == _python_bellman_ford(
+            nodes, edges, "a"
+        )
+
+    def test_negative_cycle_detected_and_poisoned(self, spark):
+        nodes = list("abcdez")
+        # b->c->d->b is a -1 cycle reachable from a; e hangs off the
+        # cycle (poisoned downstream); z is reached only by a safe edge
+        edges = [
+            ("a", "b", 1.0),
+            ("b", "c", 1.0),
+            ("c", "d", 1.0),
+            ("d", "b", -3.0),
+            ("d", "e", 1.0),
+            ("a", "z", 4.0),
+        ]
+        g = _project(spark, nodes, edges)
+        res = bellman_ford(g, ["a"])
+        assert res.negative_cycle is True
+        got = _by_orig(g, res.distances, "distance")
+        assert got["a"] == 0.0 and got["z"] == 4.0
+        for n in "bcde":
+            assert got[n] == -math.inf
+
+
+def _python_topo_scores(nodes, edges):
+    """edges: directed simple list; neighborhoods = out-neighbor sets."""
+    nbrs = {n: set() for n in nodes}
+    for s, d, _w in edges:
+        nbrs[s].add(d)
+    out = {}
+    ns = sorted(nodes)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1 :]:
+            common = nbrs[a] & nbrs[b]
+            if not common:
+                continue
+            out[(a, b)] = {
+                "common_neighbors": len(common),
+                "adamic_adar": sum(
+                    1.0 / math.log(len(nbrs[z])) for z in common if len(nbrs[z]) > 1
+                ),
+                "resource_allocation": sum(1.0 / len(nbrs[z]) for z in common),
+                "preferential_attachment": len(nbrs[a]) * len(nbrs[b]),
+                "total_neighbors": len(nbrs[a] | nbrs[b]),
+            }
+    return out
+
+
+class TestTopologyLinkPrediction:
+    def _got(self, g, df):
+        m = {r["vid"]: r["orig_id"] for r in g.nodes.collect()}
+        out = {}
+        for r in df.collect():
+            out[(m[r["node1"]], m[r["node2"]])] = {
+                k: r[k]
+                for k in (
+                    "common_neighbors",
+                    "adamic_adar",
+                    "resource_allocation",
+                    "preferential_attachment",
+                    "total_neighbors",
+                )
+            }
+        return out
+
+    def test_scores_match_python_oracle(self, spark):
+        nodes, edges = fixtures.gnm(n=25, m=80, seed=11)
+        nodes = [str(n) for n in nodes]
+        simple = sorted({(str(s), str(d)) for s, d, _ in edges if str(s) != str(d)})
+        edges = [(s, d, 1.0) for s, d in simple]
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        und = sorted({(s, d) for a, b, _ in edges for s, d in ((a, b), (b, a))})
+        want = _python_topo_scores(nodes, [(s, d, 1.0) for s, d in und])
+        got = self._got(g, topology_link_prediction(g))
+        # vid order preserves orig order, so pair keys line up directly
+        assert set(got) == set(want)
+        for k, w in want.items():
+            for fld, v in w.items():
+                assert abs(got[k][fld] - v) < 1e-9, (k, fld)
+
+    def test_min_common_and_top_k(self, spark):
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        all_pairs = topology_link_prediction(g).collect()
+        filtered = topology_link_prediction(g, min_common_neighbors=2).collect()
+        assert {(r["node1"], r["node2"]) for r in filtered} <= {
+            (r["node1"], r["node2"]) for r in all_pairs
+        }
+        assert all(r["common_neighbors"] >= 2 for r in filtered)
+        topped = topology_link_prediction(g, top_k=1)
+        counts = topped.groupBy("node1").count().collect()
+        assert all(r["count"] == 1 for r in counts)
+
+    def test_same_community_flag(self, spark):
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        comm = g.nodes.select(
+            "vid", (F.col("vid") < 3).cast("long").alias("community")
+        )
+        out = topology_link_prediction(g, community=comm)
+        assert "same_community" in out.columns
+        for r in out.collect():
+            want = 1 if (r["node1"] < 3) == (r["node2"] < 3) else 0
+            assert r["same_community"] == want
+
+    def test_degree_cutoff_max_drops_hub_witnesses(self, spark):
+        nodes, edges = fixtures.star()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        # every spoke pair's only witness is the hub (fan-in 10)
+        assert topology_link_prediction(g).count() > 0
+        assert topology_link_prediction(g, degree_cutoff_max=5).count() == 0
