@@ -1158,6 +1158,118 @@ def q_topology_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GS_DIM = 4
+GS_LAYERS = 2
+GS_SEED = 42
+
+
+def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE inference (reference ``gds.beta.graphSage.stream``) with
+    the deterministic hash-initialized model over node features
+    [1, log1p(outdeg), orig_id % 16] — 2 mean-aggregator layers, ReLU,
+    final L2 norm. The id term breaks local degree-regularity: with
+    degree-only features h == mean(neighbors) exactly on regular
+    neighborhoods, z cancels to ~1e-16 and the final normalization
+    amplifies engine-association noise to O(1) — id features keep z
+    generic so the 6dp twin is stable. Oracle: the same two layers
+    unrolled per-dimension in SQL with the IDENTICAL weight literals
+    (``_graphsage_oracle`` builds both sides from
+    ``GraphSageModel.deterministic``)."""
+    from graph_data_science_spark.algorithms.graphsage import graph_sage
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_gsage")
+    feats = (
+        g.degrees("out")
+        .join(g.nodes.select("vid", "orig_id"), "vid")
+        .select(
+            "vid",
+            F.array(
+                F.lit(1.0),
+                F.log1p("degree"),
+                (F.col("orig_id") % 16).cast("double"),
+            ).alias("features"),
+        )
+    )
+    res = graph_sage(
+        g,
+        features=feats,
+        embedding_dimension=GS_DIM,
+        layers=GS_LAYERS,
+        seed=GS_SEED,
+    )
+    cols = [
+        F.round(F.col("embedding")[i], 6).alias(f"e{i}") for i in range(GS_DIM)
+    ]
+    return res.embeddings.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"), *cols
+    )
+
+
+def q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-classification pipeline (reference
+    ``gds.beta.pipeline.nodeClassification``): deterministic degree/id
+    features, labels = orig_id % 3 on a training half (vid even),
+    one-vs-rest LR (5 GD iterations), argmax predict over ALL nodes →
+    (node_id, predicted). Rows-only: the iterative trainer has no SQL
+    twin; LR ≡ numpy GD pinned in tests/test_ml.py."""
+    from graph_data_science_spark.ml.nodeclass import (
+        predict_node_classification,
+        train_node_classification,
+    )
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_nc")
+    feats = (
+        g.degrees("out")
+        .join(g.nodes.select("vid", "orig_id"), "vid")
+        .select(
+            "vid",
+            F.array(
+                F.lit(1.0),
+                F.log1p("degree"),
+                ((F.col("orig_id") % 16) / 8.0).cast("double"),
+            ).alias("features"),
+            (F.col("orig_id") % 3).cast("long").alias("label"),
+        )
+    )
+    model = train_node_classification(
+        feats.filter(F.col("vid") % 2 == 0), max_iterations=5, learning_rate=1.0
+    )
+    pred = predict_node_classification(model, feats)
+    return pred.join(g.nodes, pred["id"] == g.nodes["vid"]).select(
+        F.col("orig_id").alias("node_id"),
+        F.col("predicted").cast("long").alias("predicted"),
+    )
+
+
+def q_graph_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random graph generation (reference ``gds.beta.graph.generate``,
+    hash-deterministic, distributed): POWER_LAW graph (n=500, avg deg 4,
+    seed 7) projected, summarized as the IN-degree histogram (the
+    power-law side — out-slots are fixed per node, targets are drawn
+    preferentially) → (degree, n_nodes). Rows-only: the xxhash64-based
+    edge draw has no SQL twin; determinism + distribution shape pinned
+    in tests/test_structure_ops.py. (sf_dir unused — generation is the
+    source.)"""
+    from graph_data_science_spark.projection import project
+    from graph_data_science_spark.sources.generate import generate_graph
+
+    e = generate_graph(
+        spark,
+        node_count=500,
+        average_degree=4.0,
+        relationship_distribution="POWER_LAW",
+        relationship_seed=7,
+    )
+    g = project(e, name="entry_gen")
+    return (
+        g.degrees("in")
+        .groupBy(F.col("degree").cast("long").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1215,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "bellman_ford": q_bellman_ford,
         "topology_linkpred": q_topology_linkpred,
+        "graphsage": q_graphsage,
         # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1237,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_kcut": q_max_kcut,
         "link_prediction": q_link_prediction,
         "dfs": q_dfs,
+        "node_classification": q_node_classification,
+        "graph_generate": q_graph_generate,
     }
 
 
@@ -1941,6 +2056,70 @@ FROM lppairs JOIN lpdeg d1 ON d1.src = node1 JOIN lpdeg d2 ON d2.src = node2
 """
 
 
+def _graphsage_oracle() -> str:
+    """GraphSAGE inference twin: the SAME deterministic weight matrices
+    (``GraphSageModel.deterministic`` — pure integer hash mixing, no RNG)
+    inlined as SQL literals, two unrolled layers of per-dimension
+    arithmetic: h0 = [1, ln(1+outdeg), node_id % 16], hn = avg over
+    in-neighbors (zeros when none),
+    z_i = relu(Σ_j Wself[i][j]·h_j + Wneigh[i][j]·hn_j), final layer
+    L2-normalized. Sums are 3-4 terms of generic O(1) values — double
+    association noise ~1e-16, far inside the 6dp rounding (see
+    ``q_graphsage`` for why the features must break degree-regularity)."""
+    from graph_data_science_spark.algorithms.graphsage import GraphSageModel
+
+    dims = [3] + [GS_DIM] * GS_LAYERS
+    model = GraphSageModel.deterministic(dims, seed=GS_SEED)
+
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + """
+, gadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)
+, godeg AS (SELECT src, count(*) AS deg FROM gadj GROUP BY src)
+, gh0 AS MATERIALIZED (
+    SELECT n.node_id, 1.0::DOUBLE AS h_0, ln(1 + coalesce(d.deg, 0))::DOUBLE AS h_1,
+           (n.node_id % 16)::DOUBLE AS h_2
+    FROM nodes n LEFT JOIN godeg d ON d.src = n.node_id
+)
+"""
+    ]
+    prev, d_prev = "gh0", 3
+    for li, layer in enumerate(model.layers):
+        ws, wn = layer["w_self"], layer["w_neigh"]
+        d_out = len(ws)
+        mean_cols = ", ".join(
+            f"avg(s.h_{j}) AS hn_{j}" for j in range(d_prev)
+        )
+        parts.append(
+            f""", gn{li} AS MATERIALIZED (
+    SELECT e.dst AS node_id, {mean_cols}
+    FROM gadj e JOIN {prev} s ON s.node_id = e.src
+    GROUP BY e.dst
+)"""
+        )
+        z_exprs = []
+        for i in range(d_out):
+            terms = [f"({ws[i][j]!r}) * h.h_{j}" for j in range(d_prev)] + [
+                f"({wn[i][j]!r}) * coalesce(m.hn_{j}, 0.0)" for j in range(d_prev)
+            ]
+            z_exprs.append(f"greatest(0.0, {' + '.join(terms)}) AS h_{i}")
+        parts.append(
+            f""", gz{li} AS MATERIALIZED (
+    SELECT h.node_id, {', '.join(z_exprs)}
+    FROM {prev} h LEFT JOIN gn{li} m ON m.node_id = h.node_id
+)"""
+        )
+        prev, d_prev = f"gz{li}", d_out
+    nrm = " + ".join(f"h_{i} * h_{i}" for i in range(d_prev))
+    outs = ", ".join(
+        f"round(h_{i} / (CASE WHEN sqrt({nrm}) = 0 THEN 1.0 ELSE sqrt({nrm}) END), 6) AS e{i}"
+        for i in range(d_prev)
+    )
+    parts.append(f"\nSELECT node_id, {outs} FROM {prev}")
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -2229,6 +2408,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "kmeans": _kmeans_oracle(),
         "bellman_ford": _bellman_ford_oracle(),
         "topology_linkpred": _LINKPRED_TOPO_ORACLE,
+        "graphsage": _graphsage_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as
