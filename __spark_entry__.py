@@ -797,16 +797,18 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-1 coloring on the symmetrized derived graph (rows-only: the
-    fixpoint has no SQL twin; proper-coloring + Δ+1 bound + determinism
-    pinned in tests/test_structure_ops.py)."""
+    """K-1 coloring on the symmetrized derived graph. Oracle: unrolled
+    synchronous Jones-Plassmann rounds in SQL (``_k1coloring_oracle`` —
+    conflict = same color as a smaller-id neighbor, recolor = mex of
+    neighbor colors); proper-coloring + Δ+1 bound + determinism also
+    pinned in tests/test_structure_ops.py."""
     from graph_data_science_spark.algorithms.coloring import k1coloring
     from graph_data_science_spark.projection import project
 
     g = project(_edges(spark, sf_dir), name="entry_color", orientation="UNDIRECTED")
     res = k1coloring(g)
     return res.colors.join(g.nodes, "vid").select(
-        F.col("orig_id").alias("node_id"), "color"
+        F.col("orig_id").alias("node_id"), F.col("color").cast("long").alias("color")
     )
 
 
@@ -849,9 +851,10 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest (Borůvka) of the symmetrized derived graph
-    → chosen canonical edges. Rows-only: the lexicographic-tie-break
-    fixpoint has no tractable SQL twin; total-weight parity with Kruskal
-    is pinned in tests/test_structure_ops.py."""
+    → chosen canonical edges. Oracle: unrolled Borůvka in SQL
+    (``_spanning_forest_oracle`` — the tie-broken forest is unique);
+    total-weight parity with Kruskal also pinned in
+    tests/test_structure_ops.py."""
     from graph_data_science_spark.algorithms.spanning import minimum_spanning_forest
     from graph_data_science_spark.projection import project
 
@@ -1328,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bellman_ford": q_bellman_ford,
         "topology_linkpred": q_topology_linkpred,
         "graphsage": q_graphsage,
+        "k1coloring": q_k1coloring,
+        "spanning_forest": q_spanning_forest,
         # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1337,11 +1342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden": q_leiden,
         "fastrp": q_fastrp,
         "random_walk": q_random_walk,
-        "k1coloring": q_k1coloring,
         "graph_sample_rwr": q_graph_sample_rwr,
         "node2vec_walks": q_node2vec_walks,
         "node2vec": q_node2vec,
-        "spanning_forest": q_spanning_forest,
         "steiner_tree": q_steiner_tree,
         "modularity_optimization": q_modularity_optimization,
         "sllpa": q_sllpa,
@@ -2120,6 +2123,137 @@ def _graphsage_oracle() -> str:
     return "".join(parts)
 
 
+def _k1coloring_oracle(rounds: int = 12, max_colors: int = 64) -> str:
+    """Unrolled synchronous Jones-Plassmann K-1 coloring — the exact
+    engine semantics (coloring.py): all colors start 0; each round a node
+    is CONFLICTED iff some smaller-id neighbor shares its color
+    (vid = dense rank of node_id, so smaller-vid == smaller-node_id);
+    conflicted nodes recolor to the mex of their full neighbor color set
+    (expressed as min candidate 0..max_colors not present — identical to
+    the engine's sorted-distinct fold for mex < max_colors, guaranteed by
+    mex ≤ Δ < max_colors). Sync fixpoint: once conflict-free, further
+    rounds are no-ops, so unrolling past the engine's early stop is
+    exact. Engine converges in 8 rounds at sf0.01; 12 gives margin."""
+    parts = [
+        _UND_CTE
+        + """
+, kadj AS MATERIALIZED (SELECT src, dst FROM und WHERE src <> dst)
+, knodes AS MATERIALIZED (
+    SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM kadj UNION ALL SELECT dst AS node_id FROM kadj)
+)
+, kcol0 AS MATERIALIZED (SELECT node_id, 0::BIGINT AS color FROM knodes)
+"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", kconf{i} AS MATERIALIZED (
+    SELECT DISTINCT e.src AS node_id
+    FROM kadj e
+    JOIN kcol{i} a ON a.node_id = e.src
+    JOIN kcol{i} b ON b.node_id = e.dst
+    WHERE a.color = b.color AND e.dst < e.src
+), kmex{i} AS (
+    SELECT s.node_id, min(r.range) AS new_color
+    FROM kconf{i} s CROSS JOIN range(0, {max_colors}) r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM kadj e JOIN kcol{i} b ON b.node_id = e.dst
+        WHERE e.src = s.node_id AND b.color = r.range
+    )
+    GROUP BY s.node_id
+), kcol{i + 1} AS MATERIALIZED (
+    SELECT c.node_id, coalesce(m.new_color, c.color) AS color
+    FROM kcol{i} c LEFT JOIN kmex{i} m ON m.node_id = c.node_id
+)"""
+        )
+    parts.append(f"\nSELECT node_id, color FROM kcol{rounds}")
+    return "".join(parts)
+
+
+def _spanning_forest_oracle(phases: int = 8, label_rounds: int = 12) -> str:
+    """Unrolled Borůvka MSF — the exact engine semantics (spanning.py):
+    canonical undirected edges (lo, hi, min weight); each phase every
+    component picks its min outgoing edge by lexicographic
+    (weight, lo, hi); picked edges merge components to the MIN member
+    label (the engine's WCC canonicalizes to min vid, and vid order =
+    node_id order, so min-label propagation over the pick graph reaches
+    the identical labels — ``label_rounds`` ≥ the pick graph's diameter,
+    checked by construction: min-edge hooking chains are ≤ the phase's
+    component count, tiny after phase 1). Components at least halve per
+    phase, so ``phases`` ≥ ⌈log₂ n_components⌉ suffices and extra phases
+    are no-ops (no live edges → no picks). The tie-broken forest is
+    unique, so set equality of the accumulated picks is exact."""
+    parts = [
+        _UND_CTE
+        + """
+, medges AS MATERIALIZED (
+    SELECT least(src, dst) AS lo, greatest(src, dst) AS hi, min(weight) AS w
+    FROM und WHERE src <> dst GROUP BY 1, 2
+)
+, mnodes AS MATERIALIZED (
+    SELECT DISTINCT node_id FROM (SELECT lo AS node_id FROM medges UNION ALL SELECT hi AS node_id FROM medges)
+)
+, mcomp0 AS MATERIALIZED (SELECT node_id, node_id AS comp FROM mnodes)
+"""
+    ]
+    for i in range(phases):
+        parts.append(
+            f""", mlive{i} AS MATERIALIZED (
+    SELECT e.lo, e.hi, e.w, a.comp AS c1, b.comp AS c2
+    FROM medges e
+    JOIN mcomp{i} a ON a.node_id = e.lo
+    JOIN mcomp{i} b ON b.node_id = e.hi
+    WHERE a.comp <> b.comp
+), mpick{i} AS MATERIALIZED (
+    SELECT DISTINCT lo, hi, w FROM (
+        SELECT c, lo, hi, w,
+               row_number() OVER (PARTITION BY c ORDER BY w, lo, hi) AS rn
+        FROM (
+            SELECT c1 AS c, lo, hi, w FROM mlive{i}
+            UNION ALL
+            SELECT c2 AS c, lo, hi, w FROM mlive{i}
+        )
+    ) WHERE rn = 1
+), msym{i} AS MATERIALIZED (
+    SELECT a.comp AS x, b.comp AS y
+    FROM mpick{i} p
+    JOIN mcomp{i} a ON a.node_id = p.lo
+    JOIN mcomp{i} b ON b.node_id = p.hi
+    UNION
+    SELECT b.comp AS x, a.comp AS y
+    FROM mpick{i} p
+    JOIN mcomp{i} a ON a.node_id = p.lo
+    JOIN mcomp{i} b ON b.node_id = p.hi
+), mlb{i}_0 AS (SELECT DISTINCT comp, comp AS lbl FROM mcomp{i})
+"""
+        )
+        for j in range(label_rounds):
+            parts.append(
+                f""", mlb{i}_{j + 1} AS MATERIALIZED (
+    SELECT l.comp, least(l.lbl, coalesce(m.best, l.lbl)) AS lbl
+    FROM mlb{i}_{j} l LEFT JOIN (
+        SELECT s.x AS comp, min(n.lbl) AS best
+        FROM msym{i} s JOIN mlb{i}_{j} n ON n.comp = s.y
+        GROUP BY s.x
+    ) m ON m.comp = l.comp
+)"""
+            )
+        parts.append(
+            f""", mcomp{i + 1} AS MATERIALIZED (
+    SELECT c.node_id, l.lbl AS comp
+    FROM mcomp{i} c JOIN mlb{i}_{label_rounds} l ON l.comp = c.comp
+)"""
+        )
+    all_picks = " UNION ALL ".join(
+        f"SELECT lo, hi, w FROM mpick{i}" for i in range(phases)
+    )
+    parts.append(
+        f"""
+SELECT DISTINCT lo AS src, hi AS dst, w::DOUBLE AS weight FROM ({all_picks})
+"""
+    )
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -2409,6 +2543,8 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "bellman_ford": _bellman_ford_oracle(),
         "topology_linkpred": _LINKPRED_TOPO_ORACLE,
         "graphsage": _graphsage_oracle(),
+        "k1coloring": _k1coloring_oracle(),
+        "spanning_forest": _spanning_forest_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as
