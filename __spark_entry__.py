@@ -1055,12 +1055,14 @@ def q_max_kcut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-prediction pipeline (FastRP features → hadamard → distributed
-    LR, 5 GD iterations) scoring the 20 smallest existing edges — sanity:
-    a trained model scores real edges, probabilities in (0,1). Rows-only
-    (the trainer is iterative; LR parity vs numpy pinned in
-    tests/test_ml.py)."""
-    from graph_data_science_spark.algorithms.fastrp import fast_rp
+    """Link-prediction pipeline (node features → hadamard pair features →
+    distributed LR, exactly 5 GD iterations) scoring the 20 smallest
+    existing edges. Deterministic throughout so the WHOLE pipeline has a
+    SQL twin (``_link_prediction_oracle``): node "embeddings" =
+    [1, log1p(outdeg), (orig_id%16)/8] (the FastRP-fed variant is pinned
+    in tests/test_ml.py), negatives = explicit rank-shifted non-edge
+    pairs (vid, vid+s mod n), s ∈ {1,2,3}, anti-joined against the edge
+    set, first m_pos by (src, dst)."""
     from graph_data_science_spark.ml.linkpred import (
         predict_link_prediction,
         train_link_prediction,
@@ -1068,9 +1070,41 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_data_science_spark.projection import project
 
     g = project(_edges(spark, sf_dir), name="entry_lp", orientation="UNDIRECTED")
-    emb = fast_rp(g, embedding_dimension=16).embeddings
+    emb = (
+        g.degrees("out")
+        .join(g.nodes.select("vid", "orig_id"), "vid")
+        .select(
+            "vid",
+            F.array(
+                F.lit(1.0),
+                F.log1p("degree"),
+                ((F.col("orig_id") % 16) / 8.0).cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    n = g.node_count
+    pos = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    m_pos = pos.count()
+    negs = None
+    for s in (1, 2, 3):
+        p = g.nodes.select(
+            F.col("vid").alias("src"), ((F.col("vid") + s) % n).alias("dst")
+        )
+        negs = p if negs is None else negs.unionByName(p)
+    negs = (
+        negs.filter(F.col("src") != F.col("dst"))
+        .join(pos, ["src", "dst"], "left_anti")
+        .orderBy("src", "dst")
+        .limit(m_pos)
+    )
     model = train_link_prediction(
-        g, emb, feature_type="HADAMARD", max_iterations=5, learning_rate=1.0
+        g,
+        emb,
+        feature_type="HADAMARD",
+        negatives=negs,
+        max_iterations=5,
+        learning_rate=1.0,
+        tolerance=-1e9,  # never early-stop: the SQL twin unrolls exactly 5
     )
     pairs = (
         g.edges.select("src", "dst")
@@ -1213,9 +1247,12 @@ def q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node-classification pipeline (reference
     ``gds.beta.pipeline.nodeClassification``): deterministic degree/id
     features, labels = orig_id % 3 on a training half (vid even),
-    one-vs-rest LR (5 GD iterations), argmax predict over ALL nodes →
-    (node_id, predicted). Rows-only: the iterative trainer has no SQL
-    twin; LR ≡ numpy GD pinned in tests/test_ml.py."""
+    one-vs-rest LR (exactly 5 GD iterations — tolerance disabled so the
+    unroll depth is fixed), argmax predict over ALL nodes →
+    (node_id, predicted). Oracle: the full trainer unrolled in SQL
+    (``_node_classification_oracle`` — 3 classes × 5 scalar GD steps +
+    the same (p desc, class asc) argmax); LR ≡ numpy GD also pinned in
+    tests/test_ml.py."""
     from graph_data_science_spark.ml.nodeclass import (
         predict_node_classification,
         train_node_classification,
@@ -1237,7 +1274,10 @@ def q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     model = train_node_classification(
-        feats.filter(F.col("vid") % 2 == 0), max_iterations=5, learning_rate=1.0
+        feats.filter(F.col("vid") % 2 == 0),
+        max_iterations=5,
+        learning_rate=1.0,
+        tolerance=-1e9,  # never early-stop: the SQL twin unrolls exactly 5
     )
     pred = predict_node_classification(model, feats)
     return pred.join(g.nodes, pred["id"] == g.nodes["vid"]).select(
@@ -1333,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphsage": q_graphsage,
         "k1coloring": q_k1coloring,
         "spanning_forest": q_spanning_forest,
+        "node_classification": q_node_classification,
+        "link_prediction": q_link_prediction,
         # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1351,9 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashgnn": q_hashgnn,
         "influence_celf": q_influence_celf,
         "max_kcut": q_max_kcut,
-        "link_prediction": q_link_prediction,
         "dfs": q_dfs,
-        "node_classification": q_node_classification,
         "graph_generate": q_graph_generate,
     }
 
@@ -2254,6 +2294,165 @@ SELECT DISTINCT lo AS src, hi AS dst, w::DOUBLE AS weight FROM ({all_picks})
     return "".join(parts)
 
 
+def _node_classification_oracle(n_classes: int = 3, iters: int = 5) -> str:
+    """Node-classification twin: the one-vs-rest LR trainer unrolled in
+    SQL — the exact engine semantics (ml/logreg.py, lr=1.0, zero init,
+    early stop disabled in ``q_node_classification``): per class c and
+    GD step t, err = σ(w·x + b) − [label=c] over the TRAINING half
+    (vid even; vid = dense rank of node_id, so parity comes from
+    row_number in node_id order), w −= avg(err·x), b −= avg(err); then
+    argmax over σ scores for ALL nodes with the engine's
+    (p desc, class asc) tie-break. Weights are 1-row scalar CTEs; float
+    association noise ~1e-15 cannot flip an integer argmax except at
+    exact decision boundaries, which the generic features avoid."""
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + """
+, ncdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+, ncfeat AS MATERIALIZED (
+    SELECT n.node_id,
+           1.0::DOUBLE AS x1,
+           ln(1 + coalesce(d.deg, 0))::DOUBLE AS x2,
+           ((n.node_id % 16) / 8.0)::DOUBLE AS x3,
+           (n.node_id % 3) AS label,
+           (row_number() OVER (ORDER BY n.node_id) - 1) % 2 AS par
+    FROM nodes n LEFT JOIN ncdeg d ON d.src = n.node_id
+)
+, nctrain AS MATERIALIZED (SELECT * FROM ncfeat WHERE par = 0)
+"""
+    ]
+    for c in range(n_classes):
+        parts.append(
+            f""", ncw{c}_0 AS (SELECT 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS b)"""
+        )
+        for t in range(iters):
+            parts.append(
+                f""", ncw{c}_{t + 1} AS MATERIALIZED (
+    SELECT max(w1) - avg(err * x1) AS w1,
+           max(w2) - avg(err * x2) AS w2,
+           max(w3) - avg(err * x3) AS w3,
+           max(b) - avg(err) AS b
+    FROM (
+        SELECT t.x1, t.x2, t.x3, w.w1, w.w2, w.w3, w.b,
+               1.0 / (1.0 + exp(-(w.w1 * t.x1 + w.w2 * t.x2 + w.w3 * t.x3 + w.b)))
+                 - (CASE WHEN t.label = {c} THEN 1.0 ELSE 0.0 END) AS err
+        FROM nctrain t CROSS JOIN ncw{c}_{t} w
+    )
+)"""
+            )
+    scores = "\n    UNION ALL\n".join(
+        f"""    SELECT f.node_id, {c} AS cls,
+           1.0 / (1.0 + exp(-(w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.b))) AS p
+    FROM ncfeat f CROSS JOIN ncw{c}_{iters} w"""
+        for c in range(n_classes)
+    )
+    parts.append(
+        f"""
+SELECT node_id, cls::BIGINT AS predicted FROM (
+    SELECT node_id, cls,
+           row_number() OVER (PARTITION BY node_id ORDER BY p DESC, cls ASC) AS rn
+    FROM (
+{scores}
+    )
+) WHERE rn = 1
+"""
+    )
+    return "".join(parts)
+
+
+def _link_prediction_oracle(iters: int = 5) -> str:
+    """Link-prediction pipeline twin — the exact engine semantics
+    (``q_link_prediction``): node features [1, ln(1+deg), (id%16)/8] over
+    the undirected projection, positives = both-direction non-self edge
+    pairs, negatives = rank-shifted pairs (r, (r+s) mod n), s ∈ {1,2,3}
+    (vid = dense rank of node_id, and rank→node_id is strictly monotone,
+    so vid-space ordering/limits equal node-id-space ones), anti-joined,
+    first m_pos by (src, dst); hadamard pair features; LR unrolled
+    ``iters`` scalar GD steps (lr=1.0, zero init, early stop disabled);
+    output = σ scores of the 20 smallest positive pairs."""
+    parts = [
+        _UND_CTE
+        + """
+, lpnodes AS MATERIALIZED (
+    SELECT node_id, (row_number() OVER (ORDER BY node_id) - 1) AS r
+    FROM (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM und UNION ALL SELECT dst AS node_id FROM und))
+)
+, lpn AS (SELECT count(*) AS n FROM lpnodes)
+, lpdeg2 AS (SELECT src, count(*) AS deg FROM (SELECT DISTINCT src, dst FROM und WHERE src <> dst) GROUP BY src)
+, lpx AS MATERIALIZED (
+    SELECT p.node_id, p.r,
+           1.0::DOUBLE AS x1,
+           ln(1 + coalesce(d.deg, 0))::DOUBLE AS x2,
+           ((p.node_id % 16) / 8.0)::DOUBLE AS x3
+    FROM lpnodes p LEFT JOIN lpdeg2 d ON d.src = p.node_id
+)
+, lppos AS MATERIALIZED (SELECT DISTINCT src, dst FROM und WHERE src <> dst)
+, lpneg AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT c.src, c.dst,
+               row_number() OVER (ORDER BY c.src, c.dst) AS rn
+        FROM (
+            SELECT a.node_id AS src, b.node_id AS dst
+            FROM lpx a
+            JOIN lpx b ON b.r = (a.r + 1) % (SELECT n FROM lpn)
+            WHERE a.node_id <> b.node_id
+            UNION
+            SELECT a.node_id, b.node_id FROM lpx a
+            JOIN lpx b ON b.r = (a.r + 2) % (SELECT n FROM lpn)
+            WHERE a.node_id <> b.node_id
+            UNION
+            SELECT a.node_id, b.node_id FROM lpx a
+            JOIN lpx b ON b.r = (a.r + 3) % (SELECT n FROM lpn)
+            WHERE a.node_id <> b.node_id
+        ) c
+        LEFT JOIN lppos p ON p.src = c.src AND p.dst = c.dst
+        WHERE p.src IS NULL
+    ) WHERE rn <= (SELECT count(*) FROM lppos)
+)
+, lpex AS MATERIALIZED (
+    SELECT e.label,
+           a.x1 * b.x1 AS f1, a.x2 * b.x2 AS f2, a.x3 * b.x3 AS f3
+    FROM (
+        SELECT src, dst, 1.0::DOUBLE AS label FROM lppos
+        UNION ALL
+        SELECT src, dst, 0.0::DOUBLE AS label FROM lpneg
+    ) e
+    JOIN lpx a ON a.node_id = e.src
+    JOIN lpx b ON b.node_id = e.dst
+)
+, lpw0 AS (SELECT 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS b)
+"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""", lpw{t + 1} AS MATERIALIZED (
+    SELECT max(w1) - avg(err * f1) AS w1,
+           max(w2) - avg(err * f2) AS w2,
+           max(w3) - avg(err * f3) AS w3,
+           max(b) - avg(err) AS b
+    FROM (
+        SELECT e.f1, e.f2, e.f3, w.w1, w.w2, w.w3, w.b,
+               1.0 / (1.0 + exp(-(w.w1 * e.f1 + w.w2 * e.f2 + w.w3 * e.f3 + w.b))) - e.label AS err
+        FROM lpex e CROSS JOIN lpw{t} w
+    )
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src, dst,
+       round(1.0 / (1.0 + exp(-(w.w1 * a.x1 * b.x1 + w.w2 * a.x2 * b.x2 + w.w3 * a.x3 * b.x3 + w.b))), 6) AS probability
+FROM (
+    SELECT src, dst FROM lppos ORDER BY src, dst LIMIT 20
+) p
+JOIN lpx a ON a.node_id = p.src
+JOIN lpx b ON b.node_id = p.dst
+CROSS JOIN lpw{iters} w
+"""
+    )
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -2545,6 +2744,8 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "graphsage": _graphsage_oracle(),
         "k1coloring": _k1coloring_oracle(),
         "spanning_forest": _spanning_forest_oracle(),
+        "node_classification": _node_classification_oracle(),
+        "link_prediction": _link_prediction_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

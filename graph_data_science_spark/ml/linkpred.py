@@ -96,8 +96,12 @@ def train_link_prediction(
     vec_col: str = "embedding",
     negative_ratio: float = 1.0,
     seed: int = 42,
+    negatives: DataFrame | None = None,
     **lr_config,
 ) -> LinkPredictionModel:
+    """``negatives``: optional explicit (src, dst) non-edge pairs (the
+    reference analogue of configured negative sampling); default = the
+    hash-deterministic sampler ``_negative_pairs``."""
     pos = (
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -105,9 +109,12 @@ def train_link_prediction(
         .withColumn("label", F.lit(1))
     )
     m_pos = pos.count()
-    neg = _negative_pairs(graph, int(m_pos * negative_ratio), seed).withColumn(
-        "label", F.lit(0)
-    )
+    if negatives is not None:
+        neg = negatives.select("src", "dst").withColumn("label", F.lit(0))
+    else:
+        neg = _negative_pairs(graph, int(m_pos * negative_ratio), seed).withColumn(
+            "label", F.lit(0)
+        )
     examples = pair_features(
         pos.unionByName(neg), embeddings, feature_type, id_col, vec_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
