@@ -1375,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanning_forest": q_spanning_forest,
         "node_classification": q_node_classification,
         "link_prediction": q_link_prediction,
+        "max_kcut": q_max_kcut,
+        "modularity_optimization": q_modularity_optimization,
         # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1388,11 +1390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "node2vec": q_node2vec,
         "steiner_tree": q_steiner_tree,
-        "modularity_optimization": q_modularity_optimization,
         "sllpa": q_sllpa,
         "hashgnn": q_hashgnn,
         "influence_celf": q_influence_celf,
-        "max_kcut": q_max_kcut,
         "dfs": q_dfs,
         "graph_generate": q_graph_generate,
     }
@@ -2453,6 +2453,168 @@ CROSS JOIN lpw{iters} w
     return "".join(parts)
 
 
+def _max_kcut_oracle(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled approx max-k-cut — the exact engine semantics
+    (maxkcut.py, ``q_max_kcut`` runs k=3, max_iterations=6): init part =
+    vid mod k (vid = dense rank of node_id), each round the parity class
+    vid%2 == round%2 gathers its symmetrized weight into every part and
+    moves to the argmin (w, part) when strictly better than its current
+    internal weight (−1e-12 guard). The engine's early stop (two
+    consecutive zero-move rounds) leaves a state no later round can
+    change, so unrolling the full ``rounds`` is exact. Weights are
+    integer counts — sums are exact doubles on both engines, so the
+    comparisons agree bit-for-bit."""
+    parts = [
+        _UND_CTE
+        + """
+, mksym AS MATERIALIZED (SELECT src, dst, weight FROM und WHERE src <> dst)
+, mknodes AS MATERIALIZED (
+    SELECT node_id, (row_number() OVER (ORDER BY node_id) - 1) AS r
+    FROM (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM mksym UNION ALL SELECT dst AS node_id FROM mksym))
+)
+"""
+        + f""", mk0 AS MATERIALIZED (SELECT node_id, r, (r % {k})::BIGINT AS community FROM mknodes)
+"""
+    ]
+    for it in range(rounds):
+        parts.append(
+            f""", mki{it} AS MATERIALIZED (
+    SELECT s.src, a.community AS p, sum(s.weight) AS w
+    FROM mksym s JOIN mk{it} a ON a.node_id = s.dst
+    GROUP BY s.src, a.community
+), mkb{it} AS (
+    SELECT node_id, part, w FROM (
+        SELECT g.src AS node_id, pp.part, coalesce(i.w, 0.0) AS w,
+               row_number() OVER (PARTITION BY g.src ORDER BY coalesce(i.w, 0.0), pp.part) AS rn
+        FROM (SELECT DISTINCT src FROM mki{it}) g
+        CROSS JOIN (SELECT unnest(range(0, {k})) AS part) pp
+        LEFT JOIN mki{it} i ON i.src = g.src AND i.p = pp.part
+    ) WHERE rn = 1
+), mk{it + 1} AS MATERIALIZED (
+    SELECT c.node_id, c.r,
+           CASE WHEN c.r % 2 = {it % 2} AND b.part IS NOT NULL
+                     AND b.part <> c.community
+                     AND b.w < coalesce(cur.w, 0.0) - 1e-12
+                THEN b.part ELSE c.community END AS community
+    FROM mk{it} c
+    LEFT JOIN mkb{it} b ON b.node_id = c.node_id
+    LEFT JOIN mki{it} cur ON cur.src = c.node_id AND cur.p = c.community
+)"""
+        )
+    parts.append(f"\nSELECT node_id, community FROM mk{rounds}")
+    return "".join(parts)
+
+
+def _modularity_optimization_oracle(rounds: int = 4) -> str:
+    """Unrolled one-level modularity optimization — the exact engine
+    semantics (louvain.py ``_move_phase``, singleton start,
+    ``q_modularity_optimization`` runs max_iterations=4): per round the
+    parity class (vid%2 == round%2; vid = dense rank of node_id) proposes
+    argmax-gain moves into neighbor communities
+    (ΔQ = w_vc − k·σ_excl/2m, ties → min community), the proposal is
+    ACCEPTED only when its global modularity strictly beats the best seen
+    (+1e-12), else reverted — expressed with scalar accept-flag CTEs.
+    Exactness: w, k, σ, intra, Σt² are integer-valued sums (exact
+    doubles); gain/q involve one multiply + one divide mirrored with the
+    engine's parenthesization, so IEEE determinism makes every comparison
+    agree bit-for-bit. The engine's stale-2 early stop leaves a state
+    whose later rounds deterministically replay as rejected proposals, so
+    over-unrolling is exact. Final labels canonicalized to min member."""
+    q_expr = (
+        "sum(i) / (SELECT tm FROM motm) - sum(t * t) / "
+        "((SELECT tm FROM motm) * (SELECT tm FROM motm))"
+    )
+    parts = [
+        _UND_CTE
+        + """
+, motm AS (SELECT sum(weight)::DOUBLE AS tm FROM und)
+, monodes AS MATERIALIZED (
+    SELECT node_id, (row_number() OVER (ORDER BY node_id) - 1) AS r
+    FROM (SELECT DISTINCT src AS node_id FROM und)
+)
+, modeg AS MATERIALIZED (
+    SELECT src AS node_id, sum(weight)::DOUBLE AS k FROM und GROUP BY src
+)
+, ma0 AS MATERIALIZED (SELECT node_id, r, node_id AS community FROM monodes)
+, mobq0 AS (
+    SELECT """
+        + q_expr
+        + """ AS bq FROM (
+        SELECT a.community,
+               sum(e.weight) AS t,
+               sum(CASE WHEN a.community = b.community THEN e.weight ELSE 0 END) AS i
+        FROM und e
+        JOIN ma0 a ON a.node_id = e.src
+        JOIN ma0 b ON b.node_id = e.dst
+        GROUP BY a.community
+    )
+)
+"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f""", mo{t}l AS MATERIALIZED (
+    SELECT e.src, a.community AS c, sum(e.weight)::DOUBLE AS w_vc
+    FROM und e JOIN ma{t} a ON a.node_id = e.dst
+    WHERE e.src <> e.dst
+    GROUP BY e.src, a.community
+), mo{t}s AS (
+    SELECT a.community, sum(d.k) AS sigma
+    FROM ma{t} a JOIN modeg d ON d.node_id = a.node_id
+    GROUP BY a.community
+), mo{t}b AS (
+    SELECT node_id, target, gain FROM (
+        SELECT node_id, target, gain,
+               row_number() OVER (PARTITION BY node_id ORDER BY gain DESC, target ASC) AS rn
+        FROM (
+            SELECT l.src AS node_id, l.c AS target,
+                   l.w_vc - (d.k * (s.sigma - CASE WHEN l.c = a.community THEN d.k ELSE 0.0 END)) / (SELECT tm FROM motm) AS gain
+            FROM mo{t}l l
+            JOIN modeg d ON d.node_id = l.src
+            JOIN ma{t} a ON a.node_id = l.src
+            JOIN mo{t}s s ON s.community = l.c
+        )
+    ) WHERE rn = 1
+), mo{t}m AS MATERIALIZED (
+    SELECT b.node_id, b.target
+    FROM mo{t}b b JOIN ma{t} a ON a.node_id = b.node_id
+    WHERE b.gain > 1e-12 AND b.target <> a.community AND a.r % 2 = {t % 2}
+), mo{t}n AS MATERIALIZED (
+    SELECT a.node_id, a.r, coalesce(m.target, a.community) AS community
+    FROM ma{t} a LEFT JOIN mo{t}m m ON m.node_id = a.node_id
+), mo{t}q AS (
+    SELECT {q_expr} AS q FROM (
+        SELECT a.community,
+               sum(e.weight) AS t,
+               sum(CASE WHEN a.community = b.community THEN e.weight ELSE 0 END) AS i
+        FROM und e
+        JOIN mo{t}n a ON a.node_id = e.src
+        JOIN mo{t}n b ON b.node_id = e.dst
+        GROUP BY a.community
+    )
+), mo{t}f AS (
+    SELECT (EXISTS (SELECT 1 FROM mo{t}m)
+            AND (SELECT q FROM mo{t}q) > (SELECT bq FROM mobq{t}) + 1e-12) AS acc
+), ma{t + 1} AS MATERIALIZED (
+    SELECT n.node_id, n.r,
+           CASE WHEN (SELECT acc FROM mo{t}f) THEN n.community ELSE a.community END AS community
+    FROM mo{t}n n JOIN ma{t} a ON a.node_id = n.node_id
+), mobq{t + 1} AS (
+    SELECT CASE WHEN (SELECT acc FROM mo{t}f) THEN (SELECT q FROM mo{t}q) ELSE bq END AS bq
+    FROM mobq{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.node_id, c.cid AS community
+FROM ma{rounds} a JOIN (
+    SELECT community, min(node_id) AS cid FROM ma{rounds} GROUP BY community
+) c ON c.community = a.community
+"""
+    )
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -2746,6 +2908,8 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "spanning_forest": _spanning_forest_oracle(),
         "node_classification": _node_classification_oracle(),
         "link_prediction": _link_prediction_oracle(),
+        "max_kcut": _max_kcut_oracle(),
+        "modularity_optimization": _modularity_optimization_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as
