@@ -1377,13 +1377,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "max_kcut": q_max_kcut,
         "modularity_optimization": q_modularity_optimization,
+        "louvain": q_louvain,
+        "leiden": q_leiden,
         # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
         "yens_k": q_yens_k,
-        "louvain": q_louvain,
-        "leiden": q_leiden,
         "fastrp": q_fastrp,
         "random_walk": q_random_walk,
         "graph_sample_rwr": q_graph_sample_rwr,
@@ -2505,6 +2505,214 @@ def _max_kcut_oracle(k: int = 3, rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def _move_phase_sql(
+    tag: str, edges: str, rounds: int, compare_stay: bool = False
+) -> tuple[str, str]:
+    """Shared generator for one `_move_phase` level (louvain.py) as SQL
+    CTEs: singleton start over the symmetric CTE ``edges``, ``rounds``
+    parity-gated argmax-move rounds with global accept/revert (see
+    ``_modularity_optimization_oracle`` for the exactness argument).
+    Node ids at coarse levels are LABELS (level-0 node ids); the engine's
+    vid-parity and min-label tie-breaks map through ``monodes``' level-0
+    ranks (vid = rank, monotone). Requires CTEs ``motm`` (two_m, global)
+    and ``monodes`` (node_id, r) in scope. Returns (sql, final_cte)."""
+    q_expr = (
+        "sum(i) / (SELECT tm FROM motm) - sum(t * t) / "
+        "((SELECT tm FROM motm) * (SELECT tm FROM motm))"
+    )
+    p = []
+    p.append(
+        f""", {tag}a0 AS MATERIALIZED (
+    SELECT n.node_id, m.r, n.node_id AS community
+    FROM (SELECT DISTINCT src AS node_id FROM {edges}) n
+    JOIN monodes m ON m.node_id = n.node_id
+), {tag}deg AS MATERIALIZED (
+    SELECT src AS node_id, sum(weight)::DOUBLE AS k FROM {edges} GROUP BY src
+), {tag}bq0 AS (
+    SELECT {q_expr} AS bq FROM (
+        SELECT a.community,
+               sum(e.weight) AS t,
+               sum(CASE WHEN a.community = b.community THEN e.weight ELSE 0 END) AS i
+        FROM {edges} e
+        JOIN {tag}a0 a ON a.node_id = e.src
+        JOIN {tag}a0 b ON b.node_id = e.dst
+        GROUP BY a.community
+    )
+)"""
+    )
+    # compare_stay (Leiden): a zero-weight own-community candidate row per
+    # node guarantees a stay_gain exists; moves must strictly beat it
+    stay_union = (
+        f"""
+        UNION ALL
+        SELECT node_id AS src, community AS c, 0.0 AS w_vc FROM {{a}}"""
+        if compare_stay
+        else ""
+    )
+    for t in range(rounds):
+        su = stay_union.format(a=f"{tag}a{t}")
+        p.append(
+            f""", {tag}l{t} AS MATERIALIZED (
+    SELECT src, c, sum(w_vc)::DOUBLE AS w_vc FROM (
+        SELECT e.src, a.community AS c, e.weight AS w_vc
+        FROM {edges} e JOIN {tag}a{t} a ON a.node_id = e.dst
+        WHERE e.src <> e.dst{su}
+    ) GROUP BY src, c
+), {tag}s{t} AS (
+    SELECT a.community, sum(d.k) AS sigma
+    FROM {tag}a{t} a JOIN {tag}deg d ON d.node_id = a.node_id
+    GROUP BY a.community
+), {tag}b{t} AS (
+    SELECT node_id, target, gain FROM (
+        SELECT node_id, target, gain,
+               row_number() OVER (PARTITION BY node_id ORDER BY gain DESC, target ASC) AS rn
+        FROM (
+            SELECT l.src AS node_id, l.c AS target,
+                   l.w_vc - (d.k * (s.sigma - CASE WHEN l.c = a.community THEN d.k ELSE 0.0 END)) / (SELECT tm FROM motm) AS gain
+            FROM {tag}l{t} l
+            JOIN {tag}deg d ON d.node_id = l.src
+            JOIN {tag}a{t} a ON a.node_id = l.src
+            JOIN {tag}s{t} s ON s.community = l.c
+        )
+    ) WHERE rn = 1
+){
+            f''', {tag}st{t} AS (
+    SELECT l.src AS node_id,
+           l.w_vc - (d.k * (s.sigma - d.k)) / (SELECT tm FROM motm) AS stay_gain
+    FROM {tag}l{t} l
+    JOIN {tag}a{t} a ON a.node_id = l.src AND l.c = a.community
+    JOIN {tag}deg d ON d.node_id = l.src
+    JOIN {tag}s{t} s ON s.community = l.c
+), {tag}m{t} AS MATERIALIZED (
+    SELECT b.node_id, b.target
+    FROM {tag}b{t} b
+    JOIN {tag}a{t} a ON a.node_id = b.node_id
+    JOIN {tag}st{t} st ON st.node_id = b.node_id
+    WHERE b.gain > st.stay_gain + 1e-12 AND b.target <> a.community AND a.r % 2 = {t % 2}
+)''' if compare_stay else f''', {tag}m{t} AS MATERIALIZED (
+    SELECT b.node_id, b.target
+    FROM {tag}b{t} b JOIN {tag}a{t} a ON a.node_id = b.node_id
+    WHERE b.gain > 1e-12 AND b.target <> a.community AND a.r % 2 = {t % 2}
+)'''}, {tag}n{t} AS MATERIALIZED (
+    SELECT a.node_id, a.r, coalesce(m.target, a.community) AS community
+    FROM {tag}a{t} a LEFT JOIN {tag}m{t} m ON m.node_id = a.node_id
+), {tag}q{t} AS (
+    SELECT {q_expr} AS q FROM (
+        SELECT a.community,
+               sum(e.weight) AS t,
+               sum(CASE WHEN a.community = b.community THEN e.weight ELSE 0 END) AS i
+        FROM {edges} e
+        JOIN {tag}n{t} a ON a.node_id = e.src
+        JOIN {tag}n{t} b ON b.node_id = e.dst
+        GROUP BY a.community
+    )
+), {tag}f{t} AS (
+    SELECT (EXISTS (SELECT 1 FROM {tag}m{t})
+            AND (SELECT q FROM {tag}q{t}) > (SELECT bq FROM {tag}bq{t}) + 1e-12) AS acc
+), {tag}a{t + 1} AS MATERIALIZED (
+    SELECT n.node_id, n.r,
+           CASE WHEN (SELECT acc FROM {tag}f{t}) THEN n.community ELSE a.community END AS community
+    FROM {tag}n{t} n JOIN {tag}a{t} a ON a.node_id = n.node_id
+), {tag}bq{t + 1} AS (
+    SELECT CASE WHEN (SELECT acc FROM {tag}f{t}) THEN (SELECT q FROM {tag}q{t}) ELSE bq END AS bq
+    FROM {tag}bq{t}
+)"""
+        )
+    return "".join(p), f"{tag}a{rounds}"
+
+
+def _louvain_oracle(levels: int = 3, rounds: int = 4) -> str:
+    """Unrolled multi-level Louvain — the exact engine semantics
+    (louvain.py, ``q_louvain`` runs max_levels=3,
+    max_rounds_per_level=4): each level is the shared move phase
+    (``_move_phase_sql``) from a singleton start over that level's edge
+    table, then communities coarsen into super-nodes (labels = level-0
+    node ids throughout, so level-0 ranks supply the engine's vid parity
+    at every level) and the node→community mapping composes. The
+    engine's early level break (no merge) replays deterministically as
+    identity levels when over-unrolled, so unrolling all ``levels`` is
+    exact. Final labels canonicalized to min member node id."""
+    parts = [
+        _UND_CTE
+        + """
+, motm AS (SELECT sum(weight)::DOUBLE AS tm FROM und)
+, monodes AS MATERIALIZED (
+    SELECT node_id, (row_number() OVER (ORDER BY node_id) - 1) AS r
+    FROM (SELECT DISTINCT src AS node_id FROM und)
+)
+, lvedges0 AS MATERIALIZED (SELECT src, dst, weight FROM und)
+"""
+    ]
+    map_cte = None
+    for lv in range(levels):
+        sql, assign = _move_phase_sql(f"lv{lv}", f"lvedges{lv}", rounds)
+        parts.append(sql)
+        if map_cte is None:
+            parts.append(
+                f""", lvmap0 AS MATERIALIZED (SELECT node_id, community FROM {assign})"""
+            )
+        else:
+            parts.append(
+                f""", lvmap{lv} AS MATERIALIZED (
+    SELECT m.node_id, coalesce(a.community, m.community) AS community
+    FROM {map_cte} m LEFT JOIN {assign} a ON a.node_id = m.community
+)"""
+            )
+        map_cte = f"lvmap{lv}"
+        if lv < levels - 1:
+            parts.append(
+                f""", lvedges{lv + 1} AS MATERIALIZED (
+    SELECT a.community AS src, b.community AS dst, sum(e.weight) AS weight
+    FROM lvedges{lv} e
+    JOIN {assign} a ON a.node_id = e.src
+    JOIN {assign} b ON b.node_id = e.dst
+    GROUP BY 1, 2
+)"""
+            )
+    parts.append(
+        f"""
+SELECT m.node_id, c.cid AS community
+FROM {map_cte} m JOIN (
+    SELECT community, min(node_id) AS cid FROM {map_cte} GROUP BY community
+) c ON c.community = m.community
+"""
+    )
+    return "".join(parts)
+
+
+def _leiden_oracle(rounds: int = 4) -> str:
+    """Unrolled Leiden at max_levels=1 — the exact engine semantics
+    (leiden.py, ``q_leiden`` runs max_levels=1, max_rounds_per_level=4):
+    with a single level the streamed communities ARE the first move
+    phase's assignment, run with ``compare_stay=True`` (a zero-weight
+    own-community candidate per node; moves must strictly beat the stay
+    gain), min-member canonicalized — the refinement phase only shapes
+    the aggregation for level 2+, which never runs here. Same exactness
+    argument as ``_modularity_optimization_oracle``."""
+    parts = [
+        _UND_CTE
+        + """
+, motm AS (SELECT sum(weight)::DOUBLE AS tm FROM und)
+, monodes AS MATERIALIZED (
+    SELECT node_id, (row_number() OVER (ORDER BY node_id) - 1) AS r
+    FROM (SELECT DISTINCT src AS node_id FROM und)
+)
+, ldedges AS MATERIALIZED (SELECT src, dst, weight FROM und)
+"""
+    ]
+    sql, assign = _move_phase_sql("ld", "ldedges", rounds, compare_stay=True)
+    parts.append(sql)
+    parts.append(
+        f"""
+SELECT a.node_id, c.cid AS community
+FROM {assign} a JOIN (
+    SELECT community, min(node_id) AS cid FROM {assign} GROUP BY community
+) c ON c.community = a.community
+"""
+    )
+    return "".join(parts)
+
+
 def _modularity_optimization_oracle(rounds: int = 4) -> str:
     """Unrolled one-level modularity optimization — the exact engine
     semantics (louvain.py ``_move_phase``, singleton start,
@@ -2910,6 +3118,8 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "link_prediction": _link_prediction_oracle(),
         "max_kcut": _max_kcut_oracle(),
         "modularity_optimization": _modularity_optimization_oracle(),
+        "louvain": _louvain_oracle(),
+        "leiden": _leiden_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as
