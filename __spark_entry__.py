@@ -997,8 +997,8 @@ STEINER_TERMS = 5  # terminals = the 5 smallest node ids
 def q_steiner_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steiner tree (Mehlhorn 2-approx: Voronoi relax → terminal-closure
     MST → path expansion → prune) connecting the 5 smallest node ids.
-    Rows-only: the two nested fixpoints have no tractable SQL twin;
-    2·OPT bound + treeness pinned in tests/test_node2vec_steiner.py."""
+    Oracle: all five stages unrolled in SQL (``_steiner_oracle``);
+    2·OPT bound + treeness also pinned in tests/test_node2vec_steiner.py."""
     from graph_data_science_spark.algorithms.steiner import steiner_tree
     from graph_data_science_spark.projection import project
 
@@ -1379,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_optimization": q_modularity_optimization,
         "louvain": q_louvain,
         "leiden": q_leiden,
+        "steiner_tree": q_steiner_tree,
         # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1389,7 +1390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sample_rwr": q_graph_sample_rwr,
         "node2vec_walks": q_node2vec_walks,
         "node2vec": q_node2vec,
-        "steiner_tree": q_steiner_tree,
         "sllpa": q_sllpa,
         "hashgnn": q_hashgnn,
         "influence_celf": q_influence_celf,
@@ -2222,74 +2222,87 @@ def _spanning_forest_oracle(phases: int = 8, label_rounds: int = 12) -> str:
     phase, so ``phases`` ≥ ⌈log₂ n_components⌉ suffices and extra phases
     are no-ops (no live edges → no picks). The tie-broken forest is
     unique, so set equality of the accumulated picks is exact."""
-    parts = [
+    sql = _boruvka_sql("bk", "medges", phases, label_rounds)
+    return (
         _UND_CTE
         + """
 , medges AS MATERIALIZED (
     SELECT least(src, dst) AS lo, greatest(src, dst) AS hi, min(weight) AS w
     FROM und WHERE src <> dst GROUP BY 1, 2
-)
-, mnodes AS MATERIALIZED (
-    SELECT DISTINCT node_id FROM (SELECT lo AS node_id FROM medges UNION ALL SELECT hi AS node_id FROM medges)
-)
-, mcomp0 AS MATERIALIZED (SELECT node_id, node_id AS comp FROM mnodes)
+)"""
+        + sql
+        + """
+SELECT lo AS src, hi AS dst, w::DOUBLE AS weight FROM bkmsf
+"""
+    )
+
+
+def _boruvka_sql(tag: str, edges: str, phases: int, label_rounds: int) -> str:
+    """Shared unrolled-Borůvka generator (exactness: see
+    ``_spanning_forest_oracle``). ``edges``: a CTE of canonical
+    (lo, hi, w) pairs. Emits CTEs culminating in ``{tag}msf`` =
+    (lo, hi, w), the tie-broken minimum spanning forest."""
+    parts = [
+        f""", {tag}nodes AS MATERIALIZED (
+    SELECT DISTINCT node_id FROM (SELECT lo AS node_id FROM {edges} UNION ALL SELECT hi AS node_id FROM {edges})
+), {tag}c0 AS MATERIALIZED (SELECT node_id, node_id AS comp FROM {tag}nodes)
 """
     ]
     for i in range(phases):
         parts.append(
-            f""", mlive{i} AS MATERIALIZED (
+            f""", {tag}lv{i} AS MATERIALIZED (
     SELECT e.lo, e.hi, e.w, a.comp AS c1, b.comp AS c2
-    FROM medges e
-    JOIN mcomp{i} a ON a.node_id = e.lo
-    JOIN mcomp{i} b ON b.node_id = e.hi
+    FROM {edges} e
+    JOIN {tag}c{i} a ON a.node_id = e.lo
+    JOIN {tag}c{i} b ON b.node_id = e.hi
     WHERE a.comp <> b.comp
-), mpick{i} AS MATERIALIZED (
+), {tag}pk{i} AS MATERIALIZED (
     SELECT DISTINCT lo, hi, w FROM (
         SELECT c, lo, hi, w,
                row_number() OVER (PARTITION BY c ORDER BY w, lo, hi) AS rn
         FROM (
-            SELECT c1 AS c, lo, hi, w FROM mlive{i}
+            SELECT c1 AS c, lo, hi, w FROM {tag}lv{i}
             UNION ALL
-            SELECT c2 AS c, lo, hi, w FROM mlive{i}
+            SELECT c2 AS c, lo, hi, w FROM {tag}lv{i}
         )
     ) WHERE rn = 1
-), msym{i} AS MATERIALIZED (
+), {tag}sy{i} AS MATERIALIZED (
     SELECT a.comp AS x, b.comp AS y
-    FROM mpick{i} p
-    JOIN mcomp{i} a ON a.node_id = p.lo
-    JOIN mcomp{i} b ON b.node_id = p.hi
+    FROM {tag}pk{i} p
+    JOIN {tag}c{i} a ON a.node_id = p.lo
+    JOIN {tag}c{i} b ON b.node_id = p.hi
     UNION
     SELECT b.comp AS x, a.comp AS y
-    FROM mpick{i} p
-    JOIN mcomp{i} a ON a.node_id = p.lo
-    JOIN mcomp{i} b ON b.node_id = p.hi
-), mlb{i}_0 AS (SELECT DISTINCT comp, comp AS lbl FROM mcomp{i})
+    FROM {tag}pk{i} p
+    JOIN {tag}c{i} a ON a.node_id = p.lo
+    JOIN {tag}c{i} b ON b.node_id = p.hi
+), {tag}lb{i}_0 AS (SELECT DISTINCT comp, comp AS lbl FROM {tag}c{i})
 """
         )
         for j in range(label_rounds):
             parts.append(
-                f""", mlb{i}_{j + 1} AS MATERIALIZED (
+                f""", {tag}lb{i}_{j + 1} AS MATERIALIZED (
     SELECT l.comp, least(l.lbl, coalesce(m.best, l.lbl)) AS lbl
-    FROM mlb{i}_{j} l LEFT JOIN (
+    FROM {tag}lb{i}_{j} l LEFT JOIN (
         SELECT s.x AS comp, min(n.lbl) AS best
-        FROM msym{i} s JOIN mlb{i}_{j} n ON n.comp = s.y
+        FROM {tag}sy{i} s JOIN {tag}lb{i}_{j} n ON n.comp = s.y
         GROUP BY s.x
     ) m ON m.comp = l.comp
 )"""
             )
         parts.append(
-            f""", mcomp{i + 1} AS MATERIALIZED (
+            f""", {tag}c{i + 1} AS MATERIALIZED (
     SELECT c.node_id, l.lbl AS comp
-    FROM mcomp{i} c JOIN mlb{i}_{label_rounds} l ON l.comp = c.comp
+    FROM {tag}c{i} c JOIN {tag}lb{i}_{label_rounds} l ON l.comp = c.comp
 )"""
         )
     all_picks = " UNION ALL ".join(
-        f"SELECT lo, hi, w FROM mpick{i}" for i in range(phases)
+        f"SELECT lo, hi, w FROM {tag}pk{i}" for i in range(phases)
     )
     parts.append(
-        f"""
-SELECT DISTINCT lo AS src, hi AS dst, w::DOUBLE AS weight FROM ({all_picks})
-"""
+        f""", {tag}msf AS MATERIALIZED (
+    SELECT DISTINCT lo, hi, w FROM ({all_picks})
+)"""
     )
     return "".join(parts)
 
@@ -2823,6 +2836,148 @@ FROM ma{rounds} a JOIN (
     return "".join(parts)
 
 
+def _steiner_oracle(
+    relax_rounds: int = 14, expand_hops: int = 14, prune_rounds: int = 8
+) -> str:
+    """Unrolled Mehlhorn 2-approx Steiner tree — the exact engine
+    semantics (steiner.py, ``q_steiner_tree``: terminals = 5 smallest
+    node ids, symmetrized weights):
+
+    1. Voronoi: lexicographic (dist, terminal) min-relax, terminals
+       pinned — full relaxation rounds equal frontier supersteps on this
+       monotone lattice, fixpoint within ``relax_rounds`` (single-source
+       sssp settles in ≤ BF_ROUNDS=12 here; multi-source is faster).
+    2. Predecessors: post-pass argmin (min src with d_u + w = d_v within
+       the same cell; distances are integer-valued sums — equality
+       exact).
+    3. Closure: min (cost, src, dst, weight) witness per terminal pair.
+    4. Closure MST via the shared Borůvka twin (``_boruvka_sql``).
+    5. Expansion: witness edges + pred-walk edges, ``expand_hops`` ≥
+       Voronoi tree depth (≤ relax_rounds).
+    6. MST of the expanded union — the engine's m==n−1 fast path skips
+       this, but the MST of a tree IS the tree, so running it
+       unconditionally is identical — then non-terminal leaf pruning
+       (no-op on the fast path, where all leaves are terminals)."""
+    parts = [
+        _UND_CTE
+        + _NODES_CTE
+        + f"""
+, sterm AS MATERIALIZED (SELECT node_id FROM nodes ORDER BY node_id LIMIT {STEINER_TERMS})
+, vd0 AS MATERIALIZED (
+    SELECT n.node_id, (t.node_id IS NOT NULL) AS is_t,
+           CASE WHEN t.node_id IS NOT NULL THEN 0.0 ELSE {_INF} END AS d,
+           CASE WHEN t.node_id IS NOT NULL THEN n.node_id ELSE -1 END AS t
+    FROM nodes n LEFT JOIN sterm t ON t.node_id = n.node_id
+)"""
+    ]
+    for i in range(relax_rounds):
+        parts.append(
+            f""", vm{i} AS (
+    SELECT dst, d, t FROM (
+        SELECT e.dst, s.d + e.weight AS d, s.t,
+               row_number() OVER (PARTITION BY e.dst ORDER BY s.d + e.weight, s.t) AS rn
+        FROM und e JOIN vd{i} s ON s.node_id = e.src AND s.d < {_INF}
+    ) WHERE rn = 1
+), vd{i + 1} AS MATERIALIZED (
+    SELECT s.node_id, s.is_t,
+           CASE WHEN NOT s.is_t AND m.dst IS NOT NULL AND (m.d < s.d OR (m.d = s.d AND m.t < s.t))
+                THEN m.d ELSE s.d END AS d,
+           CASE WHEN NOT s.is_t AND m.dst IS NOT NULL AND (m.d < s.d OR (m.d = s.d AND m.t < s.t))
+                THEN m.t ELSE s.t END AS t
+    FROM vd{i} s LEFT JOIN vm{i} m ON m.dst = s.node_id
+)"""
+        )
+    parts.append(
+        f""", sset AS MATERIALIZED (
+    SELECT node_id, is_t, d, t FROM vd{relax_rounds} WHERE d < {_INF}
+)
+, spred AS MATERIALIZED (
+    SELECT p.dst AS vid, p.pvid, e2.weight AS w
+    FROM (
+        SELECT e.dst, min(e.src) AS pvid
+        FROM und e
+        JOIN sset u ON u.node_id = e.src
+        JOIN sset v ON v.node_id = e.dst
+        WHERE u.d + e.weight = v.d AND u.t = v.t
+        GROUP BY e.dst
+    ) p
+    JOIN und e2 ON e2.src = p.pvid AND e2.dst = p.dst
+    JOIN sset nv ON nv.node_id = p.dst AND NOT nv.is_t
+)
+, sclo AS MATERIALIZED (
+    SELECT lo, hi, cost, wu, wv, ww FROM (
+        SELECT least(u.t, v.t) AS lo, greatest(u.t, v.t) AS hi,
+               u.d + e.weight + v.d AS cost, e.src AS wu, e.dst AS wv, e.weight AS ww,
+               row_number() OVER (
+                   PARTITION BY least(u.t, v.t), greatest(u.t, v.t)
+                   ORDER BY u.d + e.weight + v.d, e.src, e.dst, e.weight
+               ) AS rn
+        FROM und e
+        JOIN sset u ON u.node_id = e.src
+        JOIN sset v ON v.node_id = e.dst
+        WHERE u.t <> v.t
+    ) WHERE rn = 1
+)
+, scloe AS MATERIALIZED (SELECT lo, hi, cost AS w FROM sclo)"""
+    )
+    parts.append(_boruvka_sql("sc", "scloe", phases=3, label_rounds=6))
+    parts.append(
+        """, swit AS MATERIALIZED (
+    SELECT c.wu, c.wv, c.ww FROM scmsf m JOIN sclo c ON c.lo = m.lo AND c.hi = m.hi
+)
+, sx0 AS MATERIALIZED (
+    SELECT DISTINCT vid FROM (SELECT wu AS vid FROM swit UNION ALL SELECT wv AS vid FROM swit)
+)"""
+    )
+    for h in range(expand_hops):
+        parts.append(
+            f""", sxe{h} AS MATERIALIZED (
+    SELECT least(p.pvid, a.vid) AS src, greatest(p.pvid, a.vid) AS dst, p.w
+    FROM sx{h} a JOIN spred p ON p.vid = a.vid
+), sx{h + 1} AS MATERIALIZED (
+    SELECT DISTINCT p.pvid AS vid FROM sx{h} a JOIN spred p ON p.vid = a.vid
+)"""
+        )
+    walk_edges = " UNION ALL ".join(
+        f"SELECT src, dst, w FROM sxe{h}" for h in range(expand_hops)
+    )
+    parts.append(
+        f""", sunion AS MATERIALIZED (
+    SELECT src AS lo, dst AS hi, min(w) AS w FROM (
+        SELECT least(wu, wv) AS src, greatest(wu, wv) AS dst, ww AS w FROM swit
+        UNION ALL
+        {walk_edges}
+    ) GROUP BY src, dst
+)"""
+    )
+    parts.append(_boruvka_sql("su", "sunion", phases=6, label_rounds=8))
+    parts.append(
+        """, pt0 AS MATERIALIZED (SELECT lo AS src, hi AS dst, w AS weight FROM sumsf)"""
+    )
+    for r in range(prune_rounds):
+        parts.append(
+            f""", pt{r}l AS (
+    SELECT d.vid FROM (
+        SELECT vid, count(*) AS deg FROM (
+            SELECT src AS vid FROM pt{r} UNION ALL SELECT dst AS vid FROM pt{r}
+        ) GROUP BY vid
+    ) d
+    LEFT JOIN sterm t ON t.node_id = d.vid
+    WHERE d.deg = 1 AND t.node_id IS NULL
+), pt{r + 1} AS MATERIALIZED (
+    SELECT e.src, e.dst, e.weight FROM pt{r} e
+    WHERE NOT EXISTS (SELECT 1 FROM pt{r}l l WHERE l.vid = e.src)
+      AND NOT EXISTS (SELECT 1 FROM pt{r}l l WHERE l.vid = e.dst)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src, dst, round(weight, 6) AS weight FROM pt{prune_rounds}
+"""
+    )
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -3120,6 +3275,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "modularity_optimization": _modularity_optimization_oracle(),
         "louvain": _louvain_oracle(),
         "leiden": _leiden_oracle(),
+        "steiner_tree": _steiner_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as
