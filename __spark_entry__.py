@@ -1380,7 +1380,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "leiden": q_leiden,
         "steiner_tree": q_steiner_tree,
-        # ---- rows-only (no SQL twin; pinned by in-repo pytest oracles) ----
+        # ---- rows-only (pinned by in-repo pytest oracles) ----
+        # The boundary is principled, not lazy: every query below either
+        # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
+        #     random_walk, rwr sampling, node2vec walks+training, sllpa
+        #     speaker draws, hashgnn sketches, CELF live-edge worlds,
+        #     graph_generate, media ids) — not reproducible in DuckDB;
+        # (b) is a driver-orchestrated point query whose oracle would
+        #     need unbounded path enumeration (yens_k); or
+        # (c) has inherently sequential output order (dfs preorder).
+        # Every deterministic fixpoint algorithm now has a SQL twin.
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
