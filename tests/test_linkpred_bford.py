@@ -172,3 +172,28 @@ class TestTopologyLinkPrediction:
         # every spoke pair's only witness is the hub (fan-in 10)
         assert topology_link_prediction(g).count() > 0
         assert topology_link_prediction(g, degree_cutoff_max=5).count() == 0
+
+
+class TestFacade:
+    def test_bellman_ford_proc(self, spark):
+        from graph_data_science_spark import SparkGDS
+
+        nodes = list("abcd")
+        edges = [("a", "b", 2.0), ("b", "c", -3.0), ("a", "c", 1.0), ("c", "d", 2.0)]
+        g = _project(spark, nodes, edges)
+        gds = SparkGDS(spark)
+        stats = gds.bellman_ford.stats(g, source_node="a")
+        assert stats["contains_negative_cycle"] is False
+        got = {r["node_id"]: r["distance"] for r in gds.bellman_ford.stream(g, source_node="a").collect()}
+        assert got == {"a": 0.0, "b": 2.0, "c": -1.0, "d": 1.0}
+
+    def test_linkprediction_proc_maps_ids(self, spark):
+        from graph_data_science_spark import SparkGDS
+
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        rows = SparkGDS(spark).linkprediction.stream(g).collect()
+        assert rows and all(isinstance(r["node1"], str) for r in rows)
+        cols = set(rows[0].asDict())
+        assert {"common_neighbors", "adamic_adar", "resource_allocation",
+                "preferential_attachment", "total_neighbors"} <= cols
