@@ -1313,6 +1313,33 @@ def q_graph_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APSP_SOURCES = 8
+
+
+def q_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted all-pairs shortest paths (reference
+    ``gds.allShortestPaths`` stream) from the 8 smallest node ids — the
+    pair-state multi-source relax (the sampled-sources scale shape).
+    Oracle: unrolled weighted pair relaxation (``_apsp_oracle``)."""
+    from graph_data_science_spark.algorithms.paths import all_pairs_distances
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_apsp")
+    srcs = g.nodes.orderBy("vid").limit(APSP_SOURCES).select("vid")
+    res = all_pairs_distances(g, sources=srcs)
+    ms = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+    mv = g.nodes.select("vid", F.col("orig_id").alias("_v"))
+    return (
+        res.join(ms, "src")
+        .join(mv, "vid")
+        .select(
+            F.col("_s").alias("source_id"),
+            F.col("_v").alias("node_id"),
+            F.round("distance", 6).alias("distance"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1380,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "leiden": q_leiden,
         "steiner_tree": q_steiner_tree,
+        "all_shortest_paths": q_all_shortest_paths,
         # ---- rows-only (pinned by in-repo pytest oracles) ----
         # The boundary is principled, not lazy: every query below either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -2987,6 +3015,41 @@ SELECT src, dst, round(weight, 6) AS weight FROM pt{prune_rounds}
     return "".join(parts)
 
 
+def _apsp_oracle(n_sources: int = APSP_SOURCES, rounds: int = BF_ROUNDS) -> str:
+    """Unrolled weighted multi-source pair relaxation — the exact engine
+    semantics (paths.py ``all_pairs_distances``, ``q_all_shortest_paths``
+    runs the {n_sources} smallest node ids as sources; vid order =
+    node_id order). Full relaxation rounds equal frontier supersteps on
+    the min lattice; weights are integer counts so distances are exact;
+    fixpoint within BF_ROUNDS (source eccentricity bound, same margin as
+    the sssp oracle)."""
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + f"""
+, apsrc AS (SELECT node_id FROM nodes ORDER BY node_id LIMIT {n_sources})
+, ap0 AS MATERIALIZED (SELECT node_id AS src, node_id AS node, 0.0::DOUBLE AS dist FROM apsrc)
+"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", ap{i + 1} AS MATERIALIZED (
+    SELECT src, node, min(dist) AS dist FROM (
+        SELECT src, node, dist FROM ap{i}
+        UNION ALL
+        SELECT d.src, e.dst AS node, d.dist + e.weight AS dist
+        FROM edges e JOIN ap{i} d ON d.node = e.src
+    ) GROUP BY src, node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS source_id, node AS node_id, round(dist, 6) AS distance FROM ap{rounds}
+"""
+    )
+    return "".join(parts)
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -3285,6 +3348,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "louvain": _louvain_oracle(),
         "leiden": _leiden_oracle(),
         "steiner_tree": _steiner_oracle(),
+        "all_shortest_paths": _apsp_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

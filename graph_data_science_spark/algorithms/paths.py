@@ -664,6 +664,68 @@ def all_pairs_hops(
     return settled
 
 
+def all_pairs_distances(
+    graph: ProjectedGraph,
+    sources: DataFrame | None = None,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest-path distances (reference
+    ``gds.allShortestPaths`` stream): → (src, vid, distance) for every
+    reached (source, node) pair, in ONE pair-state superstep loop (the
+    weighted sibling of :func:`all_pairs_hops`). ``sources=None`` uses
+    every node — exact APSP, state O(n · reach); pass a sampled source
+    set at scale (the same pivot trade closeness makes). Requires
+    non-negative weights (use :func:`bellman_ford` per source for
+    negatives)."""
+    from pyspark.storagelevel import StorageLevel
+
+    neg = graph.edges.filter(F.col("weight") < 0).limit(1).count()
+    if neg:
+        raise ValueError("all_pairs_distances requires non-negative edge weights")
+    edges = graph.edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), "weight"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    if sources is None:
+        sources = graph.nodes.select("vid")
+    state = sources.select(
+        F.col("vid").alias("src"),
+        F.col("vid").alias("vid"),
+        F.lit(0.0).alias("dist"),
+        F.lit(1).alias("changed"),
+    ).localCheckpoint(eager=True)
+    it = 0
+    while it < max_iterations:
+        frontier = state.filter(F.col("changed") == 1).select("src", "vid", "dist")
+        msgs = (
+            frontier.join(edges, frontier["vid"] == edges["u"])
+            .groupBy("src", F.col("v").alias("vid"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("m"))
+        )
+        nxt = (
+            state.select("src", "vid", "dist")
+            .join(msgs, ["src", "vid"], "full_outer")
+            .select(
+                "src",
+                "vid",
+                F.least(
+                    F.coalesce("dist", F.lit(_INF)), F.coalesce("m", F.lit(_INF))
+                ).alias("dist"),
+                (
+                    F.coalesce("m", F.lit(_INF)) < F.coalesce("dist", F.lit(_INF))
+                ).cast("int").alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = int(nxt.agg(F.sum("changed")).collect()[0][0] or 0)
+        state = nxt
+        it += 1
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return state.select("src", "vid", F.col("dist").alias("distance"))
+
+
 def closeness(
     graph: ProjectedGraph,
     wasserman_faust: bool = False,

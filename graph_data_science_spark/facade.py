@@ -769,6 +769,25 @@ class SparkGDS:
 
         return modularity(graph, communities, **kw)
 
+    def all_shortest_paths(self, graph: ProjectedGraph, sources=None, **kw) -> DataFrame:
+        """``gds.allShortestPaths`` stream: weighted (source, node,
+        distance) pairs; pass a sampled ``sources`` vid DataFrame at
+        scale (pair state is O(|sources| · reach))."""
+        from graph_data_science_spark.algorithms.paths import all_pairs_distances
+
+        res = all_pairs_distances(graph, sources=sources, **kw)
+        ms = graph.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+        mv = graph.nodes.select("vid", F.col("orig_id").alias("_v"))
+        return (
+            res.join(ms, "src")
+            .join(mv, "vid")
+            .select(
+                F.col("_s").alias("source_id"),
+                F.col("_v").alias("node_id"),
+                "distance",
+            )
+        )
+
     def sample_rwr(self, graph: ProjectedGraph, **kw):
         """``gds.graph.sample.rwr``: random-walk-with-restart subgraph."""
         from graph_data_science_spark.algorithms.sampling import sample_rwr

@@ -174,6 +174,48 @@ class TestTopologyLinkPrediction:
         assert topology_link_prediction(g, degree_cutoff_max=5).count() == 0
 
 
+class TestAllPairsDistances:
+    def test_matches_floyd_warshall(self, spark):
+        from graph_data_science_spark.algorithms.paths import all_pairs_distances
+
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges)
+        n = len(nodes)
+        idx = {x: i for i, x in enumerate(sorted(nodes))}
+        d = [[math.inf] * n for _ in range(n)]
+        for i in range(n):
+            d[i][i] = 0.0
+        for s, t, w in edges:
+            d[idx[s]][idx[t]] = min(d[idx[s]][idx[t]], w)
+        for k in range(n):
+            for i in range(n):
+                for j in range(n):
+                    if d[i][k] + d[k][j] < d[i][j]:
+                        d[i][j] = d[i][k] + d[k][j]
+        res = all_pairs_distances(g)
+        m = {r["vid"]: r["orig_id"] for r in g.nodes.collect()}
+        got = {
+            (m[r["src"]], m[r["vid"]]): r["distance"] for r in res.collect()
+        }
+        want = {
+            (a, b): d[idx[a]][idx[b]]
+            for a in nodes
+            for b in nodes
+            if d[idx[a]][idx[b]] < math.inf
+        }
+        assert got == want
+
+    def test_sampled_sources_subset(self, spark):
+        from graph_data_science_spark.algorithms.paths import all_pairs_distances
+        from pyspark.sql import functions as SF
+
+        nodes, edges = fixtures.two_triangles_bridge()
+        g = _project(spark, nodes, edges)
+        srcs = g.nodes.orderBy("vid").limit(2).select("vid")
+        sub = all_pairs_distances(g, sources=srcs)
+        assert sub.select("src").distinct().count() == 2
+
+
 class TestFacade:
     def test_bellman_ford_proc(self, spark):
         from graph_data_science_spark import SparkGDS
