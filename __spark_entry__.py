@@ -1340,6 +1340,28 @@ def q_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle LISTING (reference ``gds.alpha.triangles`` stream): every
+    distinct triangle as an id-sorted (n1 < n2 < n3) triple — the
+    degree-ordered wedge join's triangle stream, canonicalized (the
+    engine's apex ordering is degree-ranked, not id-ranked). Oracle:
+    three-way self-join on the canonical undirected edge set."""
+    from graph_data_science_spark.algorithms.triangles import triangle_count
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_tri", orientation="UNDIRECTED")
+    tri = triangle_count(g).triangles
+    m = g.nodes.select("vid", "orig_id")
+    for c in ("a", "b", "c"):
+        tri = tri.join(
+            m.select(F.col("vid").alias(c), F.col("orig_id").alias(f"_{c}")), c
+        )
+    srt = F.array_sort(F.array("_a", "_b", "_c"))
+    return tri.select(
+        srt[0].alias("n1"), srt[1].alias("n2"), srt[2].alias("n3")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1408,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden": q_leiden,
         "steiner_tree": q_steiner_tree,
         "all_shortest_paths": q_all_shortest_paths,
+        "triangles": q_triangles,
         # ---- rows-only (pinned by in-repo pytest oracles) ----
         # The boundary is principled, not lazy: every query below either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -3050,6 +3073,18 @@ SELECT src AS source_id, node AS node_id, round(dist, 6) AS distance FROM ap{rou
     return "".join(parts)
 
 
+_TRIANGLES_ORACLE = _UND_CTE + """
+, tadj AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM und WHERE src <> dst
+)
+SELECT e1.lo AS n1, e1.hi AS n2, e2.hi AS n3
+FROM tadj e1
+JOIN tadj e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+JOIN tadj e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+"""
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -3349,6 +3384,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "leiden": _leiden_oracle(),
         "steiner_tree": _steiner_oracle(),
         "all_shortest_paths": _apsp_oracle(),
+        "triangles": _TRIANGLES_ORACLE,
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

@@ -769,6 +769,22 @@ class SparkGDS:
 
         return modularity(graph, communities, **kw)
 
+    def triangles(self, graph: ProjectedGraph, **kw) -> DataFrame:
+        """``gds.alpha.triangles`` stream: distinct triangles as
+        id-sorted (node_a, node_b, node_c) triples."""
+        from graph_data_science_spark.algorithms.triangles import triangle_count
+
+        tri = triangle_count(graph, **kw).triangles
+        m = graph.nodes.select("vid", "orig_id")
+        for c in ("a", "b", "c"):
+            tri = tri.join(
+                m.select(F.col("vid").alias(c), F.col("orig_id").alias(f"_{c}")), c
+            )
+        srt = F.array_sort(F.array("_a", "_b", "_c"))
+        return tri.select(
+            srt[0].alias("node_a"), srt[1].alias("node_b"), srt[2].alias("node_c")
+        )
+
     def all_shortest_paths(self, graph: ProjectedGraph, sources=None, **kw) -> DataFrame:
         """``gds.allShortestPaths`` stream: weighted (source, node,
         distance) pairs; pass a sampled ``sources`` vid DataFrame at
