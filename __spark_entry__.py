@@ -1362,6 +1362,56 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KST_TRIMS = 10
+
+
+def q_k_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Spanning tree (reference ``gds.kSpanningTree``, objective kmin):
+    the MSF trimmed to k = n − 10 nodes by removing the most expensive
+    leaf edge per round (deterministic (weight desc, src, dst)
+    tie-break). Oracle: the Borůvka twin + 10 unrolled trim rounds
+    (``_k_spanning_tree_oracle``)."""
+    from graph_data_science_spark.algorithms.spanning import k_spanning_tree
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_kst", orientation="UNDIRECTED")
+    res = k_spanning_tree(g, k=g.node_count - KST_TRIMS, objective="min")
+    m1 = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+    m2 = g.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
+    return (
+        res.edges.join(m1, "src")
+        .join(m2, "dst")
+        .select(
+            F.col("_s").alias("src"),
+            F.col("_d").alias("dst"),
+            F.round("weight", 6).alias("weight"),
+        )
+    )
+
+
+def q_split_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout relationship split (reference
+    ``gds.alpha.ml.splitRelationships``): every 5th edge by canonical
+    (src, dst) rank becomes holdout → (src, dst, split). Oracle:
+    row_number stride in SQL (rank order is vid-lexicographic = node-id-
+    lexicographic)."""
+    from graph_data_science_spark.ml.split import split_relationships
+    from graph_data_science_spark.projection import project
+
+    g = project(_edges(spark, sf_dir), name="entry_split")
+    sp = split_relationships(g, holdout_fraction=0.2)
+    both = sp.train.withColumn("split", F.lit("train")).unionByName(
+        sp.holdout.withColumn("split", F.lit("holdout"))
+    )
+    m1 = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+    m2 = g.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
+    return (
+        both.join(m1, "src")
+        .join(m2, "dst")
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"), "split")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1431,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "steiner_tree": q_steiner_tree,
         "all_shortest_paths": q_all_shortest_paths,
         "triangles": q_triangles,
+        "k_spanning_tree": q_k_spanning_tree,
+        "split_relationships": q_split_relationships,
         # ---- rows-only (pinned by in-repo pytest oracles) ----
         # The boundary is principled, not lazy: every query below either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -3085,6 +3137,61 @@ JOIN tadj e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 """
 
 
+def _k_spanning_tree_oracle(trims: int = KST_TRIMS) -> str:
+    """K-Spanning tree twin (``q_k_spanning_tree``, objective kmin): the
+    shared Borůvka MSF (``_boruvka_sql``) followed by ``trims`` unrolled
+    rounds each deleting THE most expensive leaf edge (row_number over
+    (weight desc, src, dst) — the engine's exact tie-break; the MSF at
+    sf0.01 spans every node, so k = n − trims ⇒ exactly ``trims``
+    removals on both sides)."""
+    parts = [
+        _UND_CTE
+        + """
+, medges AS MATERIALIZED (
+    SELECT least(src, dst) AS lo, greatest(src, dst) AS hi, min(weight) AS w
+    FROM und WHERE src <> dst GROUP BY 1, 2
+)"""
+    ]
+    parts.append(_boruvka_sql("kb", "medges", phases=8, label_rounds=12))
+    parts.append(
+        """, kt0 AS MATERIALIZED (SELECT lo AS src, hi AS dst, w AS weight FROM kbmsf)"""
+    )
+    for r in range(trims):
+        parts.append(
+            f""", kt{r}d AS (
+    SELECT vid, count(*) AS deg FROM (
+        SELECT src AS vid FROM kt{r} UNION ALL SELECT dst AS vid FROM kt{r}
+    ) GROUP BY vid
+), kt{r}p AS (
+    SELECT src, dst FROM (
+        SELECT e.src, e.dst,
+               row_number() OVER (ORDER BY e.weight DESC, e.src, e.dst) AS rn
+        FROM kt{r} e
+        WHERE EXISTS (
+            SELECT 1 FROM kt{r}d d WHERE d.deg = 1 AND (d.vid = e.src OR d.vid = e.dst)
+        )
+    ) WHERE rn = 1
+), kt{r + 1} AS MATERIALIZED (
+    SELECT e.src, e.dst, e.weight FROM kt{r} e
+    WHERE NOT EXISTS (SELECT 1 FROM kt{r}p p WHERE p.src = e.src AND p.dst = e.dst)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src, dst, round(weight, 6) AS weight FROM kt{trims}
+"""
+    )
+    return "".join(parts)
+
+
+_SPLIT_ORACLE = _EDGES_CTE + """
+SELECT src, dst,
+       CASE WHEN (row_number() OVER (ORDER BY src, dst) - 1) % 5 = 0
+            THEN 'holdout' ELSE 'train' END AS split
+FROM (SELECT src, dst FROM edges WHERE src <> dst)
+"""
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -3385,6 +3492,8 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "steiner_tree": _steiner_oracle(),
         "all_shortest_paths": _apsp_oracle(),
         "triangles": _TRIANGLES_ORACLE,
+        "k_spanning_tree": _k_spanning_tree_oracle(),
+        "split_relationships": _SPLIT_ORACLE,
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

@@ -128,3 +128,60 @@ def minimum_spanning_forest(graph: ProjectedGraph) -> SpanningForestResult:
     return SpanningForestResult(
         edges=out, total_weight=float(total or 0.0), phases=phases
     )
+
+
+def k_spanning_tree(
+    graph: ProjectedGraph, k: int, objective: str = "min"
+) -> SpanningForestResult:
+    """K-Spanning tree (reference ``gds.kSpanningTree`` with kmin/kmax
+    objective): trim the minimum spanning forest down to ``k`` nodes by
+    repeatedly removing one leaf edge at a time — the most expensive leaf
+    edge for ``objective="min"`` (cheapest tree of k nodes), the cheapest
+    for ``objective="max"`` — with a deterministic (weight, src, dst)
+    tie-break (the reference trims from an RNG-seeded Prim run; our
+    determinism is the engine-wide parity/resume contract).
+
+    Each trim is one degree aggregation + one global argmax over the
+    current leaf edges — a driver-paced point loop like Yen's, O(n − k)
+    rounds; the bulk MSF underneath is the distributed Borůvka."""
+    if objective not in ("min", "max"):
+        raise ValueError(f"objective must be min or max, got {objective!r}")
+    msf = minimum_spanning_forest(graph)
+    tree = msf.edges.localCheckpoint(eager=True)
+    n_nodes = (
+        tree.select(F.col("src").alias("vid"))
+        .unionByName(tree.select(F.col("dst").alias("vid")))
+        .distinct()
+        .count()
+    )
+    trims = max(0, n_nodes - k)
+    order = (
+        [F.col("weight").desc(), F.col("src").asc(), F.col("dst").asc()]
+        if objective == "min"
+        else [F.col("weight").asc(), F.col("src").asc(), F.col("dst").asc()]
+    )
+    for _ in range(trims):
+        deg = (
+            tree.select(F.col("src").alias("vid"))
+            .unionByName(tree.select(F.col("dst").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        leaves = deg.filter(F.col("deg") == 1).select("vid")
+        leaf_edges = tree.join(
+            leaves.withColumnRenamed("vid", "src"), "src", "semi"
+        ).unionByName(
+            tree.join(leaves.withColumnRenamed("vid", "dst"), "dst", "semi")
+            .select("src", "dst", "weight")
+        ).distinct()
+        pick = leaf_edges.orderBy(*order).limit(1).collect()
+        if not pick:
+            break
+        p = pick[0]
+        tree = tree.filter(
+            ~((F.col("src") == p["src"]) & (F.col("dst") == p["dst"]))
+        ).localCheckpoint(eager=True)
+    total = tree.agg(F.sum("weight")).collect()[0][0]
+    return SpanningForestResult(
+        edges=tree, total_weight=float(total or 0.0), phases=msf.phases
+    )

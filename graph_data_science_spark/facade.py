@@ -769,6 +769,19 @@ class SparkGDS:
 
         return modularity(graph, communities, **kw)
 
+    def k_spanning_tree(self, graph: ProjectedGraph, k: int, objective: str = "min"):
+        """``gds.kSpanningTree``: the MSF trimmed to k nodes (kmin/kmax)."""
+        from graph_data_science_spark.algorithms.spanning import k_spanning_tree
+
+        return k_spanning_tree(graph, k, objective)
+
+    def split_relationships(self, graph: ProjectedGraph, holdout_fraction: float = 0.2):
+        """``gds.alpha.ml.splitRelationships``: deterministic
+        train/holdout edge split for link-prediction pipelines."""
+        from graph_data_science_spark.ml.split import split_relationships
+
+        return split_relationships(graph, holdout_fraction)
+
     def triangles(self, graph: ProjectedGraph, **kw) -> DataFrame:
         """``gds.alpha.triangles`` stream: distinct triangles as
         id-sorted (node_a, node_b, node_c) triples."""

@@ -216,6 +216,49 @@ class TestAllPairsDistances:
         assert sub.select("src").distinct().count() == 2
 
 
+class TestKSpanningAndSplit:
+    def test_k_spanning_tree_trims_expensive_leaves(self, spark):
+        from graph_data_science_spark.algorithms.spanning import (
+            k_spanning_tree,
+            minimum_spanning_forest,
+        )
+
+        # path a-b-c-d-e with increasing weights; kmin trims the most
+        # expensive leaf edge first (d-e), then c-d
+        nodes = list("abcde")
+        edges = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 3.0), ("d", "e", 4.0)]
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        msf = minimum_spanning_forest(g)
+        assert msf.edges.count() == 4
+        res = k_spanning_tree(g, k=3, objective="min")
+        m = {r["vid"]: r["orig_id"] for r in g.nodes.collect()}
+        kept = {(m[r["src"]], m[r["dst"]]) for r in res.edges.collect()}
+        assert kept == {("a", "b"), ("b", "c")}
+        res_max = k_spanning_tree(g, k=3, objective="max")
+        kept_max = {(m[r["src"]], m[r["dst"]]) for r in res_max.edges.collect()}
+        assert kept_max == {("c", "d"), ("d", "e")}
+
+    def test_split_partitions_and_is_deterministic(self, spark):
+        from graph_data_science_spark.ml.split import split_relationships
+
+        nodes, edges = fixtures.gnm(n=30, m=90, seed=3)
+        nodes = [str(n) for n in nodes]
+        edges = [(str(s), str(d), 1.0) for s, d, _ in edges if str(s) != str(d)]
+        g = _project(spark, nodes, edges)
+        sp = split_relationships(g, holdout_fraction=0.2)
+        n_train, n_hold = sp.train.count(), sp.holdout.count()
+        total = g.edges.filter("src != dst").count()
+        assert n_train + n_hold == total
+        assert 0 < n_hold <= total // 4
+        # disjoint + deterministic re-run
+        assert sp.train.join(sp.holdout, ["src", "dst"], "semi").count() == 0
+        sp2 = split_relationships(g, holdout_fraction=0.2)
+        assert (
+            sp.holdout.exceptAll(sp2.holdout).count() == 0
+            and sp2.holdout.exceptAll(sp.holdout).count() == 0
+        )
+
+
 class TestFacade:
     def test_bellman_ford_proc(self, spark):
         from graph_data_science_spark import SparkGDS
