@@ -1412,6 +1412,34 @@ def q_split_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridges (reference ``gds.bridges``): edges whose removal
+    disconnects their component, via the any-spanning-tree covering walk
+    (bridges.py), on the src<dst edge slice (the full derived graph is
+    2-edge-connected — every cell would be empty; the slice mixes cycles
+    with one real bridge). Oracle: brute per-edge-world reachability —
+    for every canonical edge, recursive BFS from its low endpoint in the
+    graph minus that edge; bridge iff the high endpoint is unreached
+    (``_bridges_oracle``, O(m·n) pair state — the oracle-only twin of
+    the engine's O(m·depth) walk)."""
+    from graph_data_science_spark.algorithms.bridges import bridges
+    from graph_data_science_spark.projection import project
+
+    g = project(
+        _edges(spark, sf_dir).filter(F.col("src") < F.col("dst")),
+        name="entry_bridges",
+        orientation="UNDIRECTED",
+    )
+    res = bridges(g)
+    m1 = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+    m2 = g.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
+    return (
+        res.bridges.join(m1, "src")
+        .join(m2, "dst")
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1483,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "k_spanning_tree": q_k_spanning_tree,
         "split_relationships": q_split_relationships,
+        "bridges": q_bridges,
         # ---- rows-only (pinned by in-repo pytest oracles) ----
         # The boundary is principled, not lazy: every query below either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -3192,6 +3221,44 @@ FROM (SELECT src, dst FROM edges WHERE src <> dst)
 """
 
 
+def _bridges_oracle() -> str:
+    """Bridges twin by definition, not by algorithm: an edge is a bridge
+    iff its endpoints are disconnected without it. One pair-state
+    RECURSIVE reachability covers every world at once — state (world lo,
+    world hi, reached node), world = the excluded canonical edge — run
+    to the exact fixpoint by DuckDB's recursive-CTE executor (the
+    unrolled-CTE variant hits a planner pathology past ~5 chained
+    rounds; recursion is both exact and fast). Runs on the src<dst edge
+    slice (see ``q_bridges``)."""
+    return (
+        _EDGES_CTE
+        + """
+, bund AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst FROM edges WHERE src < dst
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges WHERE src < dst
+    ) WHERE src <> dst
+)
+, bwe AS MATERIALIZED (
+    SELECT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM bund GROUP BY 1, 2
+)
+, brreach AS (
+    SELECT lo, hi, lo AS node FROM bwe
+    UNION
+    SELECT r.lo, r.hi, e.dst AS node
+    FROM brreach r JOIN bund e ON e.src = r.node
+    WHERE NOT (least(e.src, e.dst) = r.lo AND greatest(e.src, e.dst) = r.hi)
+)
+SELECT e.lo AS src, e.hi AS dst FROM bwe e
+WHERE NOT EXISTS (
+    SELECT 1 FROM brreach r WHERE r.lo = e.lo AND r.hi = e.hi AND r.node = e.hi
+)
+"""
+    )
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -3494,6 +3561,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "triangles": _TRIANGLES_ORACLE,
         "k_spanning_tree": _k_spanning_tree_oracle(),
         "split_relationships": _SPLIT_ORACLE,
+        "bridges": _bridges_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

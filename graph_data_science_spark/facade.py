@@ -769,6 +769,20 @@ class SparkGDS:
 
         return modularity(graph, communities, **kw)
 
+    def bridges(self, graph: ProjectedGraph, **kw) -> DataFrame:
+        """``gds.bridges``: edges whose removal disconnects their
+        component (any-spanning-tree covering walk)."""
+        from graph_data_science_spark.algorithms.bridges import bridges
+
+        res = bridges(graph, **kw)
+        m1 = graph.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
+        m2 = graph.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
+        return (
+            res.bridges.join(m1, "src")
+            .join(m2, "dst")
+            .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
+        )
+
     def k_spanning_tree(self, graph: ProjectedGraph, k: int, objective: str = "min"):
         """``gds.kSpanningTree``: the MSF trimmed to k nodes (kmin/kmax)."""
         from graph_data_science_spark.algorithms.spanning import k_spanning_tree

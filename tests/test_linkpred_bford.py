@@ -216,6 +216,71 @@ class TestAllPairsDistances:
         assert sub.select("src").distinct().count() == 2
 
 
+def _python_bridges(nodes, und_pairs):
+    """Brute oracle: edge is a bridge iff endpoints disconnect without it."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in und_pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def connected(a, b, skip):
+        seen, stack = {a}, [a]
+        while stack:
+            x = stack.pop()
+            if x == b:
+                return True
+            for y in adj[x]:
+                if {x, y} == set(skip):
+                    continue
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return False
+
+    return {
+        (a, b) for a, b in und_pairs if not connected(a, b, (a, b))
+    }
+
+
+class TestBridges:
+    def _got(self, spark, nodes, pairs):
+        from graph_data_science_spark.algorithms.bridges import bridges
+
+        edges = [(a, b, 1.0) for a, b in pairs]
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        m = {r["vid"]: r["orig_id"] for r in g.nodes.collect()}
+        return {
+            tuple(sorted((m[r["src"]], m[r["dst"]])))
+            for r in bridges(g).bridges.collect()
+        }
+
+    def test_goldens(self, spark):
+        cases = [
+            # two triangles joined by one bridge
+            ([("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "f"),
+              ("f", "d"), ("c", "d")], {("c", "d")}),
+            # path: every edge a bridge
+            ([("a", "b"), ("b", "c"), ("c", "d")],
+             {("a", "b"), ("b", "c"), ("c", "d")}),
+            # cycle: none
+            ([("a", "b"), ("b", "c"), ("c", "a")], set()),
+            # disconnected: bridge in one component only
+            ([("a", "b"), ("p", "q"), ("q", "r"), ("r", "p")], {("a", "b")}),
+        ]
+        for i, (pairs, want) in enumerate(cases):
+            nodes = sorted({x for p in pairs for x in p})
+            assert self._got(spark, nodes, pairs) == want, i
+
+    def test_random_graph_matches_brute_oracle(self, spark):
+        nodes, edges = fixtures.gnm(n=24, m=30, seed=9)
+        nodes = [str(n) for n in nodes]
+        pairs = sorted({tuple(sorted((str(s), str(d)))) for s, d, _ in edges if str(s) != str(d)})
+        want = _python_bridges(nodes, pairs)
+        assert self._got(spark, nodes, pairs) == want
+
+
 class TestKSpanningAndSplit:
     def test_k_spanning_tree_trims_expensive_leaves(self, spark):
         from graph_data_science_spark.algorithms.spanning import (
