@@ -1440,6 +1440,25 @@ def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation points (reference ``gds.articulationPoints``) via the
+    tree-independent block characterization (covering-pair edge-graph →
+    WCC blocks → vertices in ≥2 blocks; bridges.py), on the same src<dst
+    slice as ``q_bridges``. Oracle: brute per-node-world recursive
+    reachability — remove each node, BFS from its min neighbor, flag if
+    any other neighbor is unreached (``_articulation_oracle``)."""
+    from graph_data_science_spark.algorithms.bridges import articulation_points
+    from graph_data_science_spark.projection import project
+
+    g = project(
+        _edges(spark, sf_dir).filter(F.col("src") < F.col("dst")),
+        name="entry_artic",
+        orientation="UNDIRECTED",
+    )
+    res = articulation_points(g)
+    return res.points.join(g.nodes, "vid").select(F.col("orig_id").alias("node_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1512,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_spanning_tree": q_k_spanning_tree,
         "split_relationships": q_split_relationships,
         "bridges": q_bridges,
+        "articulation_points": q_articulation_points,
         # ---- rows-only (pinned by in-repo pytest oracles) ----
         # The boundary is principled, not lazy: every query below either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -3259,6 +3279,38 @@ WHERE NOT EXISTS (
     )
 
 
+def _articulation_oracle() -> str:
+    """Articulation-points twin by definition: node w is an articulation
+    point iff, with w removed, some neighbor of w cannot reach w's min
+    neighbor. One recursive pair-state reachability covers all n worlds
+    (world = the excluded node). Same src<dst slice as ``q_bridges``."""
+    return (
+        _EDGES_CTE
+        + """
+, aund AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst FROM edges WHERE src < dst
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges WHERE src < dst
+    ) WHERE src <> dst
+)
+, anbr AS MATERIALIZED (SELECT DISTINCT src AS w, dst AS nb FROM aund)
+, aseed AS (SELECT w, min(nb) AS s FROM anbr GROUP BY w)
+, areach AS (
+    SELECT w, s AS node FROM aseed
+    UNION
+    SELECT r.w, e.dst AS node
+    FROM areach r JOIN aund e ON e.src = r.node
+    WHERE e.dst <> r.w
+)
+SELECT DISTINCT n.w AS node_id FROM anbr n
+WHERE NOT EXISTS (
+    SELECT 1 FROM areach r WHERE r.w = n.w AND r.node = n.nb
+)
+"""
+    )
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -3562,6 +3614,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "k_spanning_tree": _k_spanning_tree_oracle(),
         "split_relationships": _SPLIT_ORACLE,
         "bridges": _bridges_oracle(),
+        "articulation_points": _articulation_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

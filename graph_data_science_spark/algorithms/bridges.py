@@ -44,6 +44,10 @@ class BridgesResult:
     bridges: DataFrame  # (src, dst) canonical src < dst, vid space
     tree_edges: int
     rounds: int
+    # internals shared with articulation_points (tree edges; covering
+    # pairs (ea, eb, src, dst) — non-tree edge (ea,eb) covers tree (src,dst))
+    _tree: DataFrame | None = None
+    _covered: DataFrame | None = None
 
 
 def bridges(graph: ProjectedGraph, max_iterations: int = 1000) -> BridgesResult:
@@ -158,9 +162,9 @@ def bridges(graph: ProjectedGraph, max_iterations: int = 1000) -> BridgesResult:
             .localCheckpoint(eager=True)
         )
         step_cov = (
-            stepped.select(F.explode(F.array("ca", "cb")).alias("e"))
+            stepped.select("ea", "eb", F.explode(F.array("ca", "cb")).alias("e"))
             .filter(F.col("e").isNotNull())
-            .select("e.src", "e.dst")
+            .select("ea", "eb", "e.src", "e.dst")
             .distinct()
         )
         covered = (
@@ -180,11 +184,91 @@ def bridges(graph: ProjectedGraph, max_iterations: int = 1000) -> BridgesResult:
         hops += 1
 
     out = (
-        tree.join(covered, ["src", "dst"], "left_anti")
+        tree.join(covered.select("src", "dst").distinct(), ["src", "dst"], "left_anti")
         if covered is not None
         else tree
     )
     n_tree = tree.count()
     adj.unpersist()
     parent.unpersist()
-    return BridgesResult(bridges=out, tree_edges=n_tree, rounds=rounds)
+    return BridgesResult(
+        bridges=out, tree_edges=n_tree, rounds=rounds, _tree=tree, _covered=covered
+    )
+
+
+@dataclass
+class ArticulationPointsResult:
+    points: DataFrame  # (vid) — articulation points
+    blocks: DataFrame  # (src, dst, block) — canonical edge → block label
+
+
+def articulation_points(graph: ProjectedGraph, max_iterations: int = 1000) -> ArticulationPointsResult:
+    """Articulation points (reference ``gds.articulationPoints``) —
+    vertices whose removal disconnects their component.
+
+    DFS low-link is invalid over a BFS tree (cross edges break it), so
+    this uses the tree-independent BLOCK characterization instead:
+
+    - every non-tree edge's fundamental cycle ties the edges it covers
+      into one biconnected component, so blocks = connected components of
+      the edge-graph whose links are the covering pairs the bridge walk
+      already emits (each non-tree edge linked to every tree edge of its
+      cycle; bridges stay singleton blocks);
+    - components of the edge-graph via the engine's WCC (the hardened
+      star-contraction primitive — no new fixpoint code);
+    - a vertex is an articulation point iff its incident edges span ≥ 2
+      distinct blocks (the classic block-cut-tree fact, valid for any
+      root, no special cases).
+    """
+    from graph_data_science_spark.algorithms.wcc import wcc as _wcc
+    from graph_data_science_spark.projection import ProjectedGraph as PG
+
+    res = bridges(graph, max_iterations=max_iterations)
+    tree, covered = res._tree, res._covered
+    n = max(graph.node_count, 1)
+    eid = lambda s, d: F.col(s) * F.lit(n) + F.col(d)  # noqa: E731
+
+    all_edges = tree.select("src", "dst")
+    if covered is not None:
+        all_edges = all_edges.unionByName(
+            covered.select(
+                F.least("ea", "eb").alias("src"), F.greatest("ea", "eb").alias("dst")
+            )
+        ).distinct()
+    enodes = all_edges.select(eid("src", "dst").alias("vid"), "src", "dst")
+    enodes = enodes.localCheckpoint(eager=True)
+
+    if covered is not None:
+        links = covered.select(
+            (F.least("ea", "eb") * n + F.greatest("ea", "eb")).alias("src"),
+            eid("src", "dst").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    else:
+        links = graph.nodes.sparkSession.createDataFrame(
+            [], "src long, dst long, weight double"
+        )
+    eg = PG(
+        name="_blocks",
+        nodes=enodes.select(F.col("vid").alias("orig_id"), "vid"),
+        edges=links,
+        orientation="NATURAL",
+        aggregation="min",
+        weighted=False,
+        node_count=enodes.count(),
+        edge_count=0,
+    )
+    blocks = _wcc(eg).components  # (vid = edge id, component = block label)
+    eblocks = enodes.join(blocks, "vid").select("src", "dst", F.col("component").alias("block"))
+
+    incident = eblocks.select(F.col("src").alias("vid"), "block").unionByName(
+        eblocks.select(F.col("dst").alias("vid"), "block")
+    )
+    pts = (
+        incident.distinct()
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("vid")
+    )
+    return ArticulationPointsResult(points=pts, blocks=eblocks)

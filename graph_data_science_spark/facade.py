@@ -783,6 +783,17 @@ class SparkGDS:
             .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
         )
 
+    def articulation_points(self, graph: ProjectedGraph, **kw) -> DataFrame:
+        """``gds.articulationPoints``: vertices whose removal disconnects
+        their component (block characterization over the covering-pair
+        edge-graph)."""
+        from graph_data_science_spark.algorithms.bridges import articulation_points
+
+        res = articulation_points(graph, **kw)
+        return res.points.join(graph.nodes, "vid").select(
+            F.col("orig_id").alias("node_id")
+        )
+
     def k_spanning_tree(self, graph: ProjectedGraph, k: int, objective: str = "min"):
         """``gds.kSpanningTree``: the MSF trimmed to k nodes (kmin/kmax)."""
         from graph_data_science_spark.algorithms.spanning import k_spanning_tree

@@ -281,6 +281,69 @@ class TestBridges:
         assert self._got(spark, nodes, pairs) == want
 
 
+def _python_articulation(nodes, und_pairs):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in und_pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def comp_count(skip):
+        seen = set()
+        cnt = 0
+        for start in nodes:
+            if start == skip or start in seen:
+                continue
+            cnt += 1
+            stack = [start]
+            seen.add(start)
+            while stack:
+                x = stack.pop()
+                for y in adj[x]:
+                    if y != skip and y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+        return cnt
+
+    base = comp_count(None)
+    # a non-isolated v cuts iff removing it increases the component count
+    return {v for v in nodes if adj[v] and comp_count(v) > base}
+
+
+class TestArticulationPoints:
+    def _got(self, spark, nodes, pairs):
+        from graph_data_science_spark.algorithms.bridges import articulation_points
+
+        edges = [(a, b, 1.0) for a, b in pairs]
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        m = {r["vid"]: r["orig_id"] for r in g.nodes.collect()}
+        return {m[r["vid"]] for r in articulation_points(g).points.collect()}
+
+    def test_goldens(self, spark):
+        cases = [
+            # two triangles sharing vertex c: no bridges, c cuts
+            ([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+              ("e", "c")], {"c"}),
+            # path: interior nodes cut
+            ([("a", "b"), ("b", "c"), ("c", "d")], {"b", "c"}),
+            # cycle: none
+            ([("a", "b"), ("b", "c"), ("c", "a")], set()),
+            # star: hub cuts
+            ([("h", "s1"), ("h", "s2"), ("h", "s3")], {"h"}),
+        ]
+        for i, (pairs, want) in enumerate(cases):
+            nodes = sorted({x for p in pairs for x in p})
+            assert self._got(spark, nodes, pairs) == want, i
+
+    def test_random_graph_matches_brute_oracle(self, spark):
+        nodes, edges = fixtures.gnm(n=22, m=26, seed=13)
+        nodes = [str(n) for n in nodes]
+        pairs = sorted({tuple(sorted((str(s), str(d)))) for s, d, _ in edges if str(s) != str(d)})
+        want = _python_articulation(nodes, pairs)
+        assert self._got(spark, nodes, pairs) == want
+
+
 class TestKSpanningAndSplit:
     def test_k_spanning_tree_trims_expensive_leaves(self, spark):
         from graph_data_science_spark.algorithms.spanning import (
