@@ -1459,6 +1459,41 @@ def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.points.join(g.nodes, "vid").select(F.col("orig_id").alias("node_id"))
 
 
+def q_kge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGE link scoring (reference ``gds.ml.kge.predict``): TransE and
+    DistMult scores over deterministic triples from the embeddings table
+    (head = the 50 smallest vec_ids, tail = head+1, relation = head%2;
+    relation vectors = the two smallest vec_ids' embeddings). Oracle:
+    per-dimension unnest arithmetic in SQL (``_KGE_ORACLE``)."""
+    from graph_data_science_spark.ml.kge import predict_kge
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    rels = (
+        emb.orderBy("id")
+        .limit(2)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).alias("rel"),
+            "embedding",
+        )
+    )
+    heads = emb.select("id").orderBy("id").limit(50)
+    triples = heads.select(
+        F.col("id").alias("head"),
+        (F.col("id") % 2).alias("rel"),
+        (F.col("id") + 1).alias("tail"),
+    )
+    te = predict_kge(triples, emb, rels, scoring="transe").select(
+        "head", "rel", "tail", F.round("score", 6).alias("transe")
+    )
+    dm = predict_kge(triples, emb, rels, scoring="distmult").select(
+        "head", "rel", "tail", F.round("score", 6).alias("distmult")
+    )
+    return te.join(dm, ["head", "rel", "tail"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1532,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_relationships": q_split_relationships,
         "bridges": q_bridges,
         "articulation_points": q_articulation_points,
+        "kge_predict": q_kge_predict,
         # ---- rows-only (pinned by in-repo pytest oracles) ----
         # The boundary is principled, not lazy: every query below either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -3311,6 +3347,32 @@ WHERE NOT EXISTS (
     )
 
 
+_KGE_ORACLE = """
+WITH kgemb AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+, kgrel AS (
+    SELECT (row_number() OVER (ORDER BY id)) - 1 AS rel, v
+    FROM (SELECT id, v FROM kgemb ORDER BY id LIMIT 2)
+)
+, kgtrip AS (
+    SELECT id AS head, id % 2 AS rel, id + 1 AS tail
+    FROM (SELECT id FROM kgemb ORDER BY id LIMIT 50)
+)
+, kgj AS (
+    SELECT t.head, t.rel, t.tail, h.v AS hv, r.v AS rv, tt.v AS tv
+    FROM kgtrip t
+    JOIN kgemb h ON h.id = t.head
+    JOIN kgemb tt ON tt.id = t.tail
+    JOIN kgrel r ON r.rel = t.rel
+)
+SELECT head, rel, tail,
+       round(-sqrt((SELECT sum((a + b - c) * (a + b - c))
+                    FROM (SELECT unnest(hv) AS a, unnest(rv) AS b, unnest(tv) AS c) z)), 6) AS transe,
+       round((SELECT sum(a * b * c)
+              FROM (SELECT unnest(hv) AS a, unnest(rv) AS b, unnest(tv) AS c) z), 6) AS distmult
+FROM kgj
+"""
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -3615,6 +3677,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "split_relationships": _SPLIT_ORACLE,
         "bridges": _bridges_oracle(),
         "articulation_points": _articulation_oracle(),
+        "kge_predict": _KGE_ORACLE,
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

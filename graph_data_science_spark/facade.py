@@ -769,6 +769,13 @@ class SparkGDS:
 
         return modularity(graph, communities, **kw)
 
+    def kge_predict(self, triples, node_embeddings, relation_embeddings, **kw) -> DataFrame:
+        """``gds.ml.kge.predict``: TransE / DistMult scoring of
+        (head, rel, tail) triples against embedding tables."""
+        from graph_data_science_spark.ml.kge import predict_kge
+
+        return predict_kge(triples, node_embeddings, relation_embeddings, **kw)
+
     def bridges(self, graph: ProjectedGraph, **kw) -> DataFrame:
         """``gds.bridges``: edges whose removal disconnects their
         component (any-spanning-tree covering walk)."""

@@ -387,6 +387,50 @@ class TestKSpanningAndSplit:
         )
 
 
+class TestKgePredict:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from graph_data_science_spark.ml.kge import predict_kge
+
+        rng = np.random.default_rng(7)
+        nvec = {i: rng.normal(size=6) for i in range(5)}
+        rvec = {r: rng.normal(size=6) for r in range(2)}
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in nvec.items()],
+            "id long, embedding array<double>",
+        )
+        rels = spark.createDataFrame(
+            [(r, [float(x) for x in v]) for r, v in rvec.items()],
+            "rel long, embedding array<double>",
+        )
+        triples = spark.createDataFrame(
+            [(0, 0, 1), (1, 1, 2), (3, 0, 4)], "head long, rel long, tail long"
+        )
+        te = {
+            (r["head"], r["rel"], r["tail"]): r["score"]
+            for r in predict_kge(triples, emb, rels, scoring="transe").collect()
+        }
+        dm = {
+            (r["head"], r["rel"], r["tail"]): r["score"]
+            for r in predict_kge(triples, emb, rels, scoring="distmult").collect()
+        }
+        for h, r, t in [(0, 0, 1), (1, 1, 2), (3, 0, 4)]:
+            want_te = -float(np.linalg.norm(nvec[h] + rvec[r] - nvec[t]))
+            want_dm = float(np.sum(nvec[h] * rvec[r] * nvec[t]))
+            assert abs(te[(h, r, t)] - want_te) < 1e-9
+            assert abs(dm[(h, r, t)] - want_dm) < 1e-9
+
+    def test_rejects_unknown_scoring(self, spark):
+        import pytest as _pytest
+        from graph_data_science_spark.ml.kge import predict_kge
+
+        emb = spark.createDataFrame([(0, [1.0])], "id long, embedding array<double>")
+        rels = spark.createDataFrame([(0, [1.0])], "rel long, embedding array<double>")
+        tr = spark.createDataFrame([(0, 0, 0)], "head long, rel long, tail long")
+        with _pytest.raises(ValueError):
+            predict_kge(tr, emb, rels, scoring="rotate")
+
+
 class TestFacade:
     def test_bellman_ford_proc(self, spark):
         from graph_data_science_spark import SparkGDS
