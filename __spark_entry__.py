@@ -81,6 +81,70 @@ def _undirected(edges: DataFrame) -> DataFrame:
     return undirect_edges(edges)
 
 
+# ---------------------------------------------------------- shared projections --
+# The driver gate runs all ~75 queries in ONE process, and ~60 of them need
+# the same projected graph (same sf_dir, same orientation). Projection costs
+# 3–10 s each (id-map build + two joins + two materializing counts), so
+# re-projecting per query burned ~5 min of pure redundancy suite-wide
+# (VERDICT r3 "What's wrong #1a"). Memoize ONE ProjectedGraph per
+# (application, sf_dir, orientation, slice) — `project()` already persists
+# nodes+edges at MEMORY_AND_DISK, so every later query starts from the
+# materialized id map and vid edges. Keyed by applicationId so a restarted
+# SparkSession (tests) never sees another session's DataFrames.
+
+_GRAPH_CACHE: dict[tuple, object] = {}
+_SCALAR_CACHE: dict[tuple, object] = {}
+
+
+def _app_key(spark: SparkSession, sf_dir: str, *rest) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir, *rest)
+
+
+def _graph(spark: SparkSession, sf_dir: str, orientation: str = "NATURAL"):
+    """Memoized projection of the full derived edge table."""
+    from graph_data_science_spark.projection import project
+
+    key = _app_key(spark, sf_dir, orientation)
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = project(
+            _edges(spark, sf_dir),
+            name=f"entry_{orientation.lower()}",
+            orientation=orientation,
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def _graph_slice(spark: SparkSession, sf_dir: str, orientation: str = "NATURAL"):
+    """Memoized projection of the acyclic src<dst slice (dag / bellman-ford /
+    bridges / articulation all run on this canonical-edge subgraph)."""
+    from graph_data_science_spark.projection import project
+
+    key = _app_key(spark, sf_dir, "slice", orientation)
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = project(
+            _edges(spark, sf_dir).filter(F.col("src") < F.col("dst")),
+            name=f"entry_slice_{orientation.lower()}",
+            orientation=orientation,
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def _min_node(spark: SparkSession, sf_dir: str):
+    """Memoized min original node id of the derived graph (the deterministic
+    source every path query uses)."""
+    key = _app_key(spark, sf_dir, "min_node")
+    if key not in _SCALAR_CACHE:
+        e = _edges(spark, sf_dir)
+        _SCALAR_CACHE[key] = e.select(
+            F.least(F.min("src"), F.min("dst")).alias("s")
+        ).collect()[0]["s"]
+    return _SCALAR_CACHE[key]
+
+
 # ---------------------------------------------------------------- queries --
 
 def q_edge_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,9 +198,8 @@ def q_top_k_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the undirected derived graph."""
     from graph_data_science_spark.algorithms.triangles import triangle_count
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_tri", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = triangle_count(g)
     out = (
         res.per_node.join(g.nodes, "vid")
@@ -148,9 +211,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WCC, component ids canonicalized to min original member id."""
     from graph_data_science_spark.algorithms.wcc import wcc
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_wcc")
+    g = _graph(spark, sf_dir)
     res = wcc(g)
     labeled = res.components.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "component"
@@ -162,9 +224,8 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC on the directed derived graph, min-member canonical ids."""
     from graph_data_science_spark.algorithms.scc import scc
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_scc")
+    g = _graph(spark, sf_dir)
     res = scc(g)
     labeled = res.components.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "component"
@@ -177,9 +238,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, fixed 20 iterations (no early stop so the oracle's
     iteration count matches), scores rounded to 6dp for hash stability."""
     from graph_data_science_spark.algorithms.pagerank import page_rank
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_pr")
+    g = _graph(spark, sf_dir)
     res = page_rank(g, damping=PR_DAMPING, tolerance=0.0, max_iterations=PR_ITERS)
     return (
         res.scores.join(g.nodes, "vid")
@@ -192,9 +252,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalized to min member id. Oracle: unrolled sync vote iteration
     (``_lpa_oracle``)."""
     from graph_data_science_spark.algorithms.labelprop import label_propagation
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_lpa", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = label_propagation(g, max_iterations=10)
     labeled = res.labels.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "label"
@@ -349,11 +408,9 @@ def _bfs_source_sql(sf_dir: str) -> str:
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distances from the min node id over the directed derived graph."""
     from graph_data_science_spark.algorithms.paths import bfs
-    from graph_data_science_spark.projection import project
 
-    e = _edges(spark, sf_dir)
-    src = e.select(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0]["s"]
-    g = project(e, name="entry_bfs")
+    src = _min_node(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     res = bfs(g, [src], max_iterations=BF_ROUNDS)
     return (
         res.distances.join(g.nodes, "vid")
@@ -364,11 +421,9 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest-path distances from the min node id."""
     from graph_data_science_spark.algorithms.paths import sssp
-    from graph_data_science_spark.projection import project
 
-    e = _edges(spark, sf_dir)
-    src = e.select(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0]["s"]
-    g = project(e, name="entry_sssp")
+    src = _min_node(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     res = sssp(g, [src], max_iterations=BF_ROUNDS)
     return (
         res.distances.join(g.nodes, "vid")
@@ -379,16 +434,18 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sp_source_target(spark: SparkSession, sf_dir: str):
     """(graph, tree, source, target) shared by the source-target path
     queries: source = min node id, target = max node id reached from it
-    (deterministic, guaranteed-reachable)."""
+    (deterministic, guaranteed-reachable). Memoized: shortest_path_target
+    and yens_k share one relax tree."""
     from graph_data_science_spark.algorithms.paths import single_source_paths
-    from graph_data_science_spark.projection import project
 
-    e = _edges(spark, sf_dir)
-    src = e.select(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0]["s"]
-    g = project(e, name="entry_spt")
-    sp = single_source_paths(g, src, weighted=True, max_iterations=BF_ROUNDS)
-    tgt = sp.distances.join(g.nodes, "vid").agg(F.max("orig_id")).collect()[0][0]
-    return g, sp, src, tgt
+    key = _app_key(spark, sf_dir, "sp_source_target")
+    if key not in _SCALAR_CACHE:
+        src = _min_node(spark, sf_dir)
+        g = _graph(spark, sf_dir)
+        sp = single_source_paths(g, src, weighted=True, max_iterations=BF_ROUNDS)
+        tgt = sp.distances.join(g.nodes, "vid").agg(F.max("orig_id")).collect()[0][0]
+        _SCALAR_CACHE[key] = (g, sp, src, tgt)
+    return _SCALAR_CACHE[key]
 
 
 def q_shortest_path_target(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,9 +485,8 @@ def q_yens_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard node similarity over out-neighbor sets (all passing pairs)."""
     from graph_data_science_spark.algorithms.node_similarity import node_similarity
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_nsim")
+    g = _graph(spark, sf_dir)
     pairs = node_similarity(g, top_k=None)
     m1 = g.nodes.select(F.col("vid").alias("node1"), F.col("orig_id").alias("_n1"))
     m2 = g.nodes.select(F.col("vid").alias("node2"), F.col("orig_id").alias("_n2"))
@@ -450,9 +506,8 @@ def q_node_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources restricted to node_id % 3 = 0, targets to node_id % 2 = 0 —
     semi-join filters applied before scoring/top-k."""
     from graph_data_science_spark.algorithms.node_similarity import node_similarity
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_nsimf")
+    g = _graph(spark, sf_dir)
     src = g.nodes.filter(F.pmod(F.col("orig_id"), F.lit(3)) == 0).select("vid")
     tgt = g.nodes.filter(F.pmod(F.col("orig_id"), F.lit(2)) == 0).select("vid")
     pairs = node_similarity(g, top_k=None, source_nodes=src, target_nodes=tgt)
@@ -472,9 +527,8 @@ def q_node_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArticleRank, fixed 20 iterations, rounded 6dp."""
     from graph_data_science_spark.algorithms.centrality import article_rank
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_ar")
+    g = _graph(spark, sf_dir)
     res = article_rank(g, tolerance=0.0, max_iterations=PR_ITERS)
     return (
         res.scores.join(g.nodes, "vid")
@@ -485,9 +539,8 @@ def q_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality, fixed 15 power iterations, rounded 6dp."""
     from graph_data_science_spark.algorithms.centrality import eigenvector
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_ev")
+    g = _graph(spark, sf_dir)
     res = eigenvector(g, tolerance=0.0, max_iterations=15)
     return (
         res.scores.join(g.nodes, "vid")
@@ -501,9 +554,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (same monotone fixpoint; also pinned against a sequential-peeling
     oracle in tests/test_algorithms_breadth.py)."""
     from graph_data_science_spark.algorithms.kcore import k_core
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_kcore", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = k_core(g)
     return res.cores.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "core"
@@ -518,9 +570,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled power iteration (two CTEs + a scalar L2 per iteration; the
     same unrolling trick as the pagerank/eigenvector oracles)."""
     from graph_data_science_spark.algorithms.centrality import hits
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_hits")
+    g = _graph(spark, sf_dir)
     res = hits(g, tolerance=0.0, max_iterations=HITS_ITERS)
     return res.scores.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"),
@@ -536,10 +587,8 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (GDS ``sourceNodes``): teleport restricted to
     the 3 smallest node ids; fixed 20 iterations, rounded 6dp."""
     from graph_data_science_spark.algorithms.pagerank import page_rank
-    from graph_data_science_spark.projection import project
 
-    e = _edges(spark, sf_dir)
-    g = project(e, name="entry_ppr")
+    g = _graph(spark, sf_dir)
     sources = [
         r["orig_id"]
         for r in g.nodes.orderBy("orig_id").limit(PPR_SOURCES_K).collect()
@@ -559,9 +608,8 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row result)."""
     from graph_data_science_spark.algorithms.louvain import modularity
     from graph_data_science_spark.algorithms.wcc import wcc
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_mod")
+    g = _graph(spark, sf_dir)
     comps = wcc(g).components.withColumnRenamed("component", "community")
     q = modularity(g, comps)
     return spark.createDataFrame([(round(q, 6),)], "modularity double")
@@ -569,12 +617,12 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain communities (deterministic BSP variant), min-member
-    canonical ids (rows-only: modularity optimization has no SQL twin;
-    quality + determinism pinned in tests/test_louvain.py)."""
+    canonical ids. Oracle: 3-level unrolled move+coarsen SQL
+    (``_louvain_oracle``); quality + determinism also pinned in
+    tests/test_louvain.py."""
     from graph_data_science_spark.algorithms.louvain import louvain
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_louvain", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = louvain(g, max_levels=3, max_rounds_per_level=4)
     return res.communities.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "community"
@@ -583,14 +631,14 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leiden communities (move + connected-refinement + aggregate on the
-    refined partition), min-member canonical ids. Rows-only: modularity
-    optimization has no SQL twin; quality (≥ the 4-clique optimum on the
-    golden ring), connectivity-by-construction, and determinism are
-    pinned in tests/test_louvain.py::TestLeiden."""
+    refined partition), min-member canonical ids. Oracle: unrolled
+    stay-gain move phase at max_levels=1 (``_leiden_oracle``); quality
+    (≥ the 4-clique optimum on the golden ring),
+    connectivity-by-construction, and determinism are pinned in
+    tests/test_louvain.py::TestLeiden."""
     from graph_data_science_spark.algorithms.leiden import leiden
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_leiden", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = leiden(g, max_levels=1, max_rounds_per_level=4, refine_rounds=2)
     return res.communities.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "community"
@@ -603,9 +651,8 @@ def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB lacks; arithmetic is pinned against numpy in tests/test_fastrp.py.
     Emits per-node embedding norm + dim so the row check is meaningful."""
     from graph_data_science_spark.algorithms.fastrp import fast_rp
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_frp")
+    g = _graph(spark, sf_dir)
     res = fast_rp(g, embedding_dimension=32)
     return (
         res.embeddings.join(g.nodes, "vid")
@@ -624,9 +671,8 @@ def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 walks/node × 5 steps → path rows. Rows-only (sampling has no SQL
     twin; structural validity pinned in tests/test_randomwalk.py)."""
     from graph_data_science_spark.algorithms.randomwalk import random_walk
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_rw")
+    g = _graph(spark, sf_dir)
     res = random_walk(g, walks_per_node=2, walk_length=5)
     return res.walks.join(g.nodes, "vid").select(
         "walk_id", "step", F.col("orig_id").alias("node_id")
@@ -639,9 +685,8 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_betweenness_oracle``); also pinned against a pure-Python Brandes
     oracle in tests/test_betweenness.py."""
     from graph_data_science_spark.algorithms.betweenness import betweenness
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_btw")
+    g = _graph(spark, sf_dir)
     res = betweenness(g, sampling_size=6)
     return res.scores.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), F.round("score", 6).alias("score")
@@ -650,12 +695,13 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subgraph projection (reference ``gds.graph.filter``): keep edges
-    with weight ≥ 2, re-project, report degrees of the filtered graph."""
-    from graph_data_science_spark.projection import project
-
-    e = _edges(spark, sf_dir).filter(F.col("weight") >= 2)
-    g = project(e, name="entry_filter")
-    deg = g.edges.groupBy("src").agg(
+    with weight ≥ 2, report degrees of the filtered graph. Reuses the
+    cached projection — filtering vid edges is the same subgraph as
+    re-projecting the filtered edge list (ids are stable; nodes dropped by
+    the filter simply have no degree rows)."""
+    g = _graph(spark, sf_dir)
+    fe = g.edges.filter(F.col("weight") >= 2)
+    deg = fe.groupBy("src").agg(
         F.count(F.lit(1)).alias("out_degree"), F.sum("weight").alias("weighted_out_degree")
     )
     return (
@@ -672,9 +718,8 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact closeness + harmonic centrality via multi-source BFS (one
     superstep loop over (source, node) pair state)."""
     from graph_data_science_spark.algorithms.paths import closeness
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_close")
+    g = _graph(spark, sf_dir)
     out = closeness(g, max_iterations=BF_ROUNDS)
     return out.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"),
@@ -691,9 +736,8 @@ def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     of O(n·reach)): deterministic pivots = the CLOSE_K smallest node ids,
     ĉ(v) = reached-pivots / Σ d(pivot, v), ĥ(v) = Σ 1/d / k."""
     from graph_data_science_spark.algorithms.paths import closeness
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_close_s")
+    g = _graph(spark, sf_dir)
     out = closeness(g, max_iterations=BF_ROUNDS, sample_sources=CLOSE_K)
     return out.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"),
@@ -725,9 +769,8 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community conductance of a deterministic 4-way partition
     (community = node_id % 4) on the derived graph."""
     from graph_data_science_spark.algorithms.louvain import conductance
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_cond")
+    g = _graph(spark, sf_dir)
     parts = g.nodes.select(
         "vid", F.pmod(F.col("orig_id"), F.lit(4)).alias("community")
     )
@@ -749,10 +792,8 @@ def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     src<dst subgraph of the derived edges (reference
     ``gds.dag.topologicalSort`` / ``longestPath``)."""
     from graph_data_science_spark.algorithms.dag import topological_levels
-    from graph_data_science_spark.projection import project
 
-    e = _edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
-    g = project(e, name="entry_dag")
+    g = _graph_slice(spark, sf_dir)
     res = topological_levels(g)
     return res.levels.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "level"
@@ -803,9 +844,8 @@ def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor colors); proper-coloring + Δ+1 bound + determinism also
     pinned in tests/test_structure_ops.py."""
     from graph_data_science_spark.algorithms.coloring import k1coloring
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_color", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = k1coloring(g)
     return res.colors.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), F.col("color").cast("long").alias("color")
@@ -818,9 +858,8 @@ def q_graph_sample_rwr(spark: SparkSession, sf_dir: str) -> DataFrame:
     induced out-degrees. Rows-only (hash-driven sampling has no SQL twin;
     structure pinned in tests)."""
     from graph_data_science_spark.algorithms.sampling import sample_rwr
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_rwr")
+    g = _graph(spark, sf_dir)
     s = sample_rwr(g, sampling_ratio=0.15, n_walks=16)
     deg = s.edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     return (
@@ -838,9 +877,8 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     × 4 steps. Rows-only (deterministic-hash sampling has no SQL twin;
     edge-validity/determinism/bias pinned in tests)."""
     from graph_data_science_spark.algorithms.randomwalk import node2vec_walks
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_n2v")
+    g = _graph(spark, sf_dir)
     res = node2vec_walks(
         g, walks_per_node=1, walk_length=4, return_factor=0.5, in_out_factor=2.0
     )
@@ -856,9 +894,8 @@ def q_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-weight parity with Kruskal also pinned in
     tests/test_structure_ops.py."""
     from graph_data_science_spark.algorithms.spanning import minimum_spanning_forest
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_msf", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = minimum_spanning_forest(g)
     m1 = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
     m2 = g.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
@@ -880,14 +917,7 @@ def q_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven result-neutral by the driver gate."""
     from graph_data_science_spark.algorithms.paths import astar
 
-    e = _edges(spark, sf_dir)
-    src = e.select(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0]["s"]
-    from graph_data_science_spark.algorithms.paths import single_source_paths
-    from graph_data_science_spark.projection import project
-
-    g = project(e, name="entry_astar")
-    sp = single_source_paths(g, src, weighted=True, max_iterations=BF_ROUNDS)
-    tgt = sp.distances.join(g.nodes, "vid").agg(F.max("orig_id")).collect()[0][0]
+    g, _sp, src, tgt = _sp_source_target(spark, sf_dir)
     row = astar(g, src, tgt, max_iterations=BF_ROUNDS)
     return row.select(
         "source",
@@ -902,9 +932,8 @@ def q_modularity_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
     member canonical ids. Rows-only: iterative argmax has no SQL twin;
     quality/seeding pinned in tests/test_breadth2.py."""
     from graph_data_science_spark.algorithms.louvain import modularity_optimization
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_modopt", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = modularity_optimization(g, max_iterations=4)
     return res.communities.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "community"
@@ -916,9 +945,8 @@ def q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalized to min member. Rows-only: the memory evolution has no
     SQL twin; cover structure + determinism pinned in tests."""
     from graph_data_science_spark.algorithms.sllpa import sllpa
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_sllpa", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = sllpa(g, max_iterations=5)
     return res.communities.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), F.col("label").alias("community_id")
@@ -930,9 +958,8 @@ def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node embedding size + an order-insensitive bit_xor fingerprint so
     the row check is meaningful. Rows-only (hash-defined output)."""
     from graph_data_science_spark.algorithms.hashgnn import hash_gnn
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_hgnn")
+    g = _graph(spark, sf_dir)
     res = hash_gnn(g, iterations=2, embedding_density=8)
     return (
         res.embeddings.join(g.nodes, "vid")
@@ -977,9 +1004,8 @@ def q_influence_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy parity with a pure-Python oracle over the same worlds is
     pinned in tests/test_breadth2.py."""
     from graph_data_science_spark.algorithms.influence import celf_influence_maximization
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_celf")
+    g = _graph(spark, sf_dir)
     res = celf_influence_maximization(
         g, seed_set_size=CELF_SEEDS, mc_simulations=CELF_SIMS,
         propagation_probability=0.2, candidate_pool=16,
@@ -1000,9 +1026,8 @@ def q_steiner_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: all five stages unrolled in SQL (``_steiner_oracle``);
     2·OPT bound + treeness also pinned in tests/test_node2vec_steiner.py."""
     from graph_data_science_spark.algorithms.steiner import steiner_tree
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_steiner")
+    g = _graph(spark, sf_dir)
     terms = [
         r["orig_id"]
         for r in g.nodes.orderBy("orig_id").limit(STEINER_TERMS).collect()
@@ -1027,9 +1052,8 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are float arrays — hash-unfriendly). Rows-only: homophily
     quality + determinism pinned in tests/test_node2vec_steiner.py."""
     from graph_data_science_spark.algorithms.node2vec import node2vec
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_n2v_emb")
+    g = _graph(spark, sf_dir)
     res = node2vec(g, embedding_dimension=32, walks_per_node=2, walk_length=6)
     return res.embeddings.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"),
@@ -1045,9 +1069,8 @@ def q_max_kcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative argmin has no SQL twin; bipartite-recovery + cut-monotone +
     determinism pinned in tests/test_breadth2.py."""
     from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_kcut", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = approx_max_k_cut(g, k=3, max_iterations=6)
     return res.assignments.join(g.nodes, "vid").select(
         F.col("orig_id").alias("node_id"), "community"
@@ -1067,9 +1090,8 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         predict_link_prediction,
         train_link_prediction,
     )
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_lp", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     emb = (
         g.degrees("out")
         .join(g.nodes.select("vid", "orig_id"), "vid")
@@ -1132,9 +1154,8 @@ def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin; recursive-python preorder parity pinned in
     tests/test_node2vec_steiner.py."""
     from graph_data_science_spark.algorithms.dfs import dfs
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_dfs")
+    g = _graph(spark, sf_dir)
     src = g.nodes.agg(F.min("orig_id")).collect()[0][0]
     res = dfs(g, src)
     return res.visits.join(g.nodes, "vid").select(
@@ -1148,15 +1169,20 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight−2 (negatives guaranteed, negative cycles impossible — the
     subgraph has no cycles at all), source = its min node id. Oracle:
     unrolled negative-weight relaxation (``_bellman_ford_oracle``)."""
-    from graph_data_science_spark.algorithms.paths import bellman_ford
-    from graph_data_science_spark.projection import project
+    from dataclasses import replace
 
-    e = (
-        _edges(spark, sf_dir)
-        .filter(F.col("src") < F.col("dst"))
-        .withColumn("weight", F.col("weight") - F.lit(2.0))
+    from graph_data_science_spark.algorithms.paths import bellman_ford
+
+    # Reuse the cached src<dst projection; the −2 reweighting commutes with
+    # projection because the derived edge list is already unique per
+    # (src, dst) (sum-aggregation is identity), so shifting after vid
+    # substitution equals projecting the shifted edge list.
+    base = _graph_slice(spark, sf_dir)
+    g = replace(
+        base,
+        name="entry_bford",
+        edges=base.edges.withColumn("weight", F.col("weight") - F.lit(2.0)),
     )
-    g = project(e, name="entry_bford")
     src = g.nodes.agg(F.min("orig_id")).collect()[0][0]
     res = bellman_ford(g, [src])
     assert not res.negative_cycle
@@ -1174,9 +1200,8 @@ def q_topology_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_data_science_spark.algorithms.linkpred_topology import (
         topology_link_prediction,
     )
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_lptopo", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     pairs = topology_link_prediction(g, min_common_neighbors=2)
     m1 = g.nodes.select(F.col("vid").alias("node1"), F.col("orig_id").alias("_n1"))
     m2 = g.nodes.select(F.col("vid").alias("node2"), F.col("orig_id").alias("_n2"))
@@ -1213,9 +1238,8 @@ def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_graphsage_oracle`` builds both sides from
     ``GraphSageModel.deterministic``)."""
     from graph_data_science_spark.algorithms.graphsage import graph_sage
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_gsage")
+    g = _graph(spark, sf_dir)
     feats = (
         g.degrees("out")
         .join(g.nodes.select("vid", "orig_id"), "vid")
@@ -1243,6 +1267,30 @@ def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graphsage_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE TRAINING (reference ``gds.beta.graphSage.train``):
+    greedy layer-wise full-batch GD on the Hamilton-2017 unsupervised
+    edge loss over the derived graph — 1 layer, dim 4, 4 epochs,
+    2 deterministic hash negatives/edge. Emits (layer, epoch, loss):
+    monotone-decreasing loss is the training signal. Rows-only: the
+    epoch loop's distributed float sums have no tractable SQL twin;
+    exact numpy parity of the full trainer is pinned in
+    tests/test_ml.py::TestGraphSageTrain."""
+    from graph_data_science_spark.algorithms.graphsage import graph_sage_train
+
+    g = _graph(spark, sf_dir)
+    res = graph_sage_train(
+        g, embedding_dimension=GS_DIM, layers=1, epochs=4,
+        learning_rate=0.5, negative_samples=2, seed=GS_SEED,
+    )
+    rows = [
+        (li, ep, round(loss, 6))
+        for li, layer_losses in enumerate(res.losses)
+        for ep, loss in enumerate(layer_losses)
+    ]
+    return spark.createDataFrame(rows, "layer long, epoch long, loss double")
+
+
 def q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node-classification pipeline (reference
     ``gds.beta.pipeline.nodeClassification``): deterministic degree/id
@@ -1257,9 +1305,8 @@ def q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         predict_node_classification,
         train_node_classification,
     )
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_nc")
+    g = _graph(spark, sf_dir)
     feats = (
         g.degrees("out")
         .join(g.nodes.select("vid", "orig_id"), "vid")
@@ -1322,9 +1369,8 @@ def q_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-state multi-source relax (the sampled-sources scale shape).
     Oracle: unrolled weighted pair relaxation (``_apsp_oracle``)."""
     from graph_data_science_spark.algorithms.paths import all_pairs_distances
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_apsp")
+    g = _graph(spark, sf_dir)
     srcs = g.nodes.orderBy("vid").limit(APSP_SOURCES).select("vid")
     res = all_pairs_distances(g, sources=srcs)
     ms = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
@@ -1347,9 +1393,8 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's apex ordering is degree-ranked, not id-ranked). Oracle:
     three-way self-join on the canonical undirected edge set."""
     from graph_data_science_spark.algorithms.triangles import triangle_count
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_tri", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     tri = triangle_count(g).triangles
     m = g.nodes.select("vid", "orig_id")
     for c in ("a", "b", "c"):
@@ -1372,9 +1417,8 @@ def q_k_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break). Oracle: the Borůvka twin + 10 unrolled trim rounds
     (``_k_spanning_tree_oracle``)."""
     from graph_data_science_spark.algorithms.spanning import k_spanning_tree
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_kst", orientation="UNDIRECTED")
+    g = _graph(spark, sf_dir, "UNDIRECTED")
     res = k_spanning_tree(g, k=g.node_count - KST_TRIMS, objective="min")
     m1 = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
     m2 = g.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
@@ -1396,9 +1440,8 @@ def q_split_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number stride in SQL (rank order is vid-lexicographic = node-id-
     lexicographic)."""
     from graph_data_science_spark.ml.split import split_relationships
-    from graph_data_science_spark.projection import project
 
-    g = project(_edges(spark, sf_dir), name="entry_split")
+    g = _graph(spark, sf_dir)
     sp = split_relationships(g, holdout_fraction=0.2)
     both = sp.train.withColumn("split", F.lit("train")).unionByName(
         sp.holdout.withColumn("split", F.lit("holdout"))
@@ -1423,13 +1466,8 @@ def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_bridges_oracle``, O(m·n) pair state — the oracle-only twin of
     the engine's O(m·depth) walk)."""
     from graph_data_science_spark.algorithms.bridges import bridges
-    from graph_data_science_spark.projection import project
 
-    g = project(
-        _edges(spark, sf_dir).filter(F.col("src") < F.col("dst")),
-        name="entry_bridges",
-        orientation="UNDIRECTED",
-    )
+    g = _graph_slice(spark, sf_dir, "UNDIRECTED")
     res = bridges(g)
     m1 = g.nodes.select(F.col("vid").alias("src"), F.col("orig_id").alias("_s"))
     m2 = g.nodes.select(F.col("vid").alias("dst"), F.col("orig_id").alias("_d"))
@@ -1448,13 +1486,8 @@ def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability — remove each node, BFS from its min neighbor, flag if
     any other neighbor is unreached (``_articulation_oracle``)."""
     from graph_data_science_spark.algorithms.bridges import articulation_points
-    from graph_data_science_spark.projection import project
 
-    g = project(
-        _edges(spark, sf_dir).filter(F.col("src") < F.col("dst")),
-        name="entry_artic",
-        orientation="UNDIRECTED",
-    )
+    g = _graph_slice(spark, sf_dir, "UNDIRECTED")
     res = articulation_points(g)
     return res.points.join(g.nodes, "vid").select(F.col("orig_id").alias("node_id"))
 
@@ -1592,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence_celf": q_influence_celf,
         "dfs": q_dfs,
         "graph_generate": q_graph_generate,
+        "graphsage_train": q_graphsage_train,
     }
 
 

@@ -76,37 +76,41 @@ def run_bench(
     g = project(edges, name="bench_pr")
     t_project = time.time() - t0
 
-    # Marginal superstep throughput: ONE shared pre-built EdgePlan (the
-    # one-time repartition+persist cost is excluded from BOTH timed runs,
-    # not subtracted-out statistically), then 2 vs (2 + N) supersteps —
-    # the difference cancels the remaining per-call setup (degrees, init
-    # state), isolating the steady-state per-superstep cost the north
-    # metric means.
-    fused = int(os.environ.get("SPARK_GRAFT_BENCH_FUSED", "1"))
+    # Headline metric (round-4 redesign per the round-3 verdict): the old
+    # marginal-superstep number was a DIFFERENCE of two short walls, which
+    # doubles host-noise variance — irreproducible run to run. Instead:
+    # ONE shared pre-built EdgePlan + one 2-superstep warm run (JIT, cache
+    # touch), then ``repeats`` (≥3) timed full runs of ``pr_supersteps``
+    # supersteps; the headline is edges/s at the MEDIAN total wall, with
+    # every repeat published inline so BENCH_rN vs rN-1 is comparable
+    # without a noise argument. fused_supersteps=4 is the production
+    # default since the r3 recompute fix (bit-identical, parity-tested):
+    # it cuts the per-superstep driver-serial term 4×.
+    fused = int(os.environ.get("SPARK_GRAFT_BENCH_FUSED", "4"))
     track = os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0"
     executor = os.environ.get("SPARK_GRAFT_BENCH_EXECUTOR", "relational")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     t0 = time.time()
     if executor == "relational":
         plan = EdgePlan(g.edges)
         kw = {"edge_plan": plan}
-    else:  # csr: page_rank builds its CsrPlan internally per call; the
-        # warm/full subtraction cancels the build, as it did pre-r3 for
-        # the relational plan
+    else:  # csr: page_rank builds its CsrPlan internally per call
         plan = None
         kw = {"executor": "csr"}
     t_plan = time.time() - t0
-    warm = 2
     t0 = time.time()
-    page_rank(g, tolerance=0.0, max_iterations=warm,
+    page_rank(g, tolerance=0.0, max_iterations=2,
               fused_supersteps=fused, track_metrics=track, **kw)
     t_warm = time.time() - t0
-    t0 = time.time()
-    page_rank(g, tolerance=0.0, max_iterations=warm + pr_supersteps,
-              fused_supersteps=fused, track_metrics=track, **kw)
-    t_full = time.time() - t0
+    runs: list[float] = []
+    for _ in range(repeats):
+        t0 = time.time()
+        page_rank(g, tolerance=0.0, max_iterations=pr_supersteps,
+                  fused_supersteps=fused, track_metrics=track, **kw)
+        runs.append(round(time.time() - t0, 3))
     if plan is not None:
         plan.unpersist()
-    t_pr = max(t_full - t_warm, 1e-9)
+    t_pr = sorted(runs)[len(runs) // 2]  # median
     edges_processed = g.edge_count * pr_supersteps
 
     result = {
@@ -121,8 +125,9 @@ def run_bench(
         "pagerank_supersteps": pr_supersteps,
         "supersteps_per_sec": round(pr_supersteps / t_pr, 3),
         "project_sec": round(t_project, 3),
-        "pagerank_sec": round(t_pr, 3),
-        "pagerank_total_sec": round(t_full, 3),
+        "pagerank_total_sec": round(t_pr, 3),
+        "pagerank_runs_sec": runs,
+        "pagerank_best_sec": min(runs),
         "plan_build_sec": round(t_plan, 3),
         "warm_sec": round(t_warm, 3),
         "fused_supersteps": fused,

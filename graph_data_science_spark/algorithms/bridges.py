@@ -78,6 +78,7 @@ def bridges(graph: ProjectedGraph, max_iterations: int = 1000) -> BridgesResult:
     )
     rounds = 0
     frontier = state.filter(F.col("depth").isNotNull())
+    prev_nxt = None  # two-generation bound: unpersist superseded checkpoints
     while rounds < max_iterations:
         nxt = (
             frontier.join(adj, frontier["vid"] == adj["src"])
@@ -92,13 +93,19 @@ def bridges(graph: ProjectedGraph, max_iterations: int = 1000) -> BridgesResult:
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
+            nxt.unpersist()
             break
-        state = (
+        new_state = (
             state.join(nxt, "vid", "left")
             .select("vid", F.coalesce("depth", "d").alias("depth"))
             .localCheckpoint(eager=True)
         )
+        state.unpersist()
+        if prev_nxt is not None:
+            prev_nxt.unpersist()
+        state = new_state
         frontier = state.join(nxt.select("vid"), "vid", "semi")
+        prev_nxt = nxt
         rounds += 1
 
     depth = state.filter(F.col("depth").isNotNull())
@@ -137,7 +144,12 @@ def bridges(graph: ProjectedGraph, max_iterations: int = 1000) -> BridgesResult:
         .filter(F.col("wa") != F.col("wb"))
         .localCheckpoint(eager=True)
     )
-    covered = None
+    # Per-hop increments are collected and union+distinct'ed ONCE after the
+    # loop — re-distincting the full accumulated cover set every hop was
+    # O(hops × |covered|) total shuffle, quadratic in tree depth. Each
+    # increment is checkpointed (so its parent `stepped` can be released)
+    # and holds only that hop's emissions.
+    cov_parts: list[DataFrame] = []
     pmap_a = parent.select(F.col("vid").alias("wa"), F.col("parent").alias("pa"))
     pmap_b = parent.select(F.col("vid").alias("wb"), F.col("parent").alias("pb"))
     hops = 0
@@ -166,14 +178,10 @@ def bridges(graph: ProjectedGraph, max_iterations: int = 1000) -> BridgesResult:
             .filter(F.col("e").isNotNull())
             .select("ea", "eb", "e.src", "e.dst")
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        covered = (
-            step_cov
-            if covered is None
-            else covered.unionByName(step_cov).distinct()
-        )
-        covered = covered.localCheckpoint(eager=True)
-        walk = stepped.select(
+        cov_parts.append(step_cov)
+        new_walk = stepped.select(
             "ea",
             "eb",
             F.col("nwa").alias("wa"),
@@ -181,7 +189,19 @@ def bridges(graph: ProjectedGraph, max_iterations: int = 1000) -> BridgesResult:
             F.col("nwb").alias("wb"),
             F.col("ndb").alias("db"),
         ).filter(F.col("wa") != F.col("wb")).localCheckpoint(eager=True)
+        stepped.unpersist()
+        walk.unpersist()
+        walk = new_walk
         hops += 1
+
+    covered = None
+    if cov_parts:
+        covered = cov_parts[0]
+        for part in cov_parts[1:]:
+            covered = covered.unionByName(part)
+        covered = covered.distinct().localCheckpoint(eager=True)
+        for part in cov_parts:
+            part.unpersist()
 
     out = (
         tree.join(covered.select("src", "dst").distinct(), ["src", "dst"], "left_anti")

@@ -165,3 +165,226 @@ def graph_sage(
         embeddings=h.select("vid", F.col("emb").alias("embedding")),
         layers=n_layers,
     )
+
+
+# ------------------------------------------------------------- training --
+
+@dataclass
+class GraphSageTrainResult:
+    model: GraphSageModel
+    losses: list[list[float]]  # per layer, per epoch (mean pair loss)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def graph_sage_train(
+    graph: ProjectedGraph,
+    features: DataFrame | None = None,
+    embedding_dimension: int = 8,
+    layers: int = 1,
+    epochs: int = 10,
+    learning_rate: float = 0.5,
+    negative_samples: int = 2,
+    feat_col: str = "features",
+    seed: int = 42,
+) -> GraphSageTrainResult:
+    """GraphSAGE TRAINING (reference ``gds.beta.graphSage.train`` —
+    Hamilton 2017 §3.2 unsupervised loss), Spark-first.
+
+    The reference trains with minibatched SGD over sampled neighborhoods —
+    a parameter-server shape. The Spark-native equivalent implemented here
+    is **greedy layer-wise full-batch gradient descent** (the documented
+    frozen-aggregator alternative): each layer's (W_self, W_neigh) is
+    trained to convergence on the unsupervised edge objective with the
+    LOWER layers frozen, then the layer's activations are materialized and
+    become the next layer's input. Parameters are tiny (d_out×d_in per
+    layer) so they broadcast into Arrow kernels each epoch; gradients are
+    distributed sums — the exact shape of ml/logreg.py's full-batch LR.
+
+    Loss per layer (on the layer's PRE-normalization ReLU output z):
+        J = mean over pairs of  −log σ(z_u·z_v)   for positive pairs (edges)
+                                −log σ(−z_u·z_n)  for ``negative_samples``
+                                                  deterministic negatives/edge
+    Negatives use an integer hash mix (exactly replayable in the numpy
+    parity oracle, unlike xxhash):  n(u,v,i) = (u·2654435761 + v·97 +
+    i·31 + seed) mod node_count — vids are dense so the mix is uniform.
+
+    Per-epoch plan: ONE Arrow kernel computes z from the frozen (h, hn)
+    table; pair scoring + the dz scatter are pure JVM array expressions
+    (zip_with/aggregate/transform); dz is element-wise-summed per node
+    (posexplode partial+final agg); ONE Arrow kernel backprops the ReLU
+    mask and emits per-batch partial (dW_self, dW_neigh) outer-product
+    sums, which the driver reduces (d_out×d_in doubles per batch) and
+    applies. No per-row Python anywhere.
+    """
+    spark = graph.nodes.sparkSession
+    if features is None:
+        deg = graph.degrees("out")
+        features = deg.select(
+            "vid", F.array(F.lit(1.0), F.log1p("degree")).alias(feat_col)
+        )
+    d_in0 = len(features.select(feat_col).first()[0])
+    dims = [d_in0] + [embedding_dimension] * layers
+    init = GraphSageModel.deterministic(dims, seed=seed)
+    n = max(graph.node_count, 1)
+
+    edges = graph.edges.select("src", "dst").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_pos = edges.count()
+
+    # pair table (u, v, label) built once: every edge positive + Q hash
+    # negatives per edge (collisions with true neighbors are allowed —
+    # standard negative-sampling noise; the parity oracle replays them).
+    negs = [
+        edges.select(
+            F.col("src").alias("u"),
+            F.pmod(
+                F.col("src") * F.lit(2654435761) + F.col("dst") * F.lit(97)
+                + F.lit(i * 31 + seed),
+                F.lit(n),
+            ).cast("long").alias("v"),
+            F.lit(0.0).alias("label"),
+        )
+        for i in range(negative_samples)
+    ]
+    pairs = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1.0).alias("label")
+    )
+    for nd in negs:
+        pairs = pairs.unionByName(nd)
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()
+
+    h = (
+        graph.nodes.select("vid")
+        .join(features.select("vid", F.col(feat_col).alias("emb")), "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("emb", F.array_repeat(F.lit(0.0), d_in0)).alias("emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    trained: list[dict] = []
+    losses: list[list[float]] = []
+    for li in range(layers):
+        w_self = np.array(init.layers[li]["w_self"], dtype=np.float64)
+        w_neigh = np.array(init.layers[li]["w_neigh"], dtype=np.float64)
+        cur_d = w_self.shape[1]
+        hn = _neighbor_mean(edges, h, cur_d)
+        joined = (
+            h.join(hn, "vid", "left")
+            .select(
+                "vid",
+                "emb",
+                F.coalesce("hn", F.array_repeat(F.lit(0.0), cur_d)).alias("hn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        layer_losses: list[float] = []
+        for _ep in range(epochs):
+            ws, wn = w_self, w_neigh
+
+            def fwd(batches: Iterator[pd.DataFrame], _ws=ws, _wn=wn) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    hv = np.stack(pdf["emb"].to_numpy())
+                    hb = np.stack(pdf["hn"].to_numpy())
+                    z = np.maximum(hv @ _ws.T + hb @ _wn.T, 0.0)
+                    yield pd.DataFrame({"vid": pdf["vid"], "z": list(z)})
+
+            z = joined.mapInPandas(fwd, schema="vid long, z array<double>").localCheckpoint(
+                eager=True
+            )
+            zu = z.select(F.col("vid").alias("u"), F.col("z").alias("zu"))
+            zv = z.select(F.col("vid").alias("v"), F.col("z").alias("zv"))
+            scored = (
+                pairs.join(zu, "u").join(zv, "v")
+                .withColumn("s", _dot(F.col("zu"), F.col("zv")))
+                .withColumn("c", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s"))) - F.col("label"))
+                # −log σ(s) for label 1, −log σ(−s) for label 0, stably:
+                .withColumn(
+                    "l",
+                    F.when(F.col("label") == 1.0, F.log1p(F.exp(-F.col("s"))))
+                    .otherwise(F.log1p(F.exp(F.col("s")))),
+                )
+            )
+            row = scored.agg(F.sum("l").alias("L")).collect()[0]
+            layer_losses.append(float(row["L"] or 0.0) / n_pairs)
+            contrib = scored.select(
+                F.col("u").alias("vid"),
+                F.transform("zv", lambda x: F.col("c") * x).alias("g"),
+            ).unionByName(
+                scored.select(
+                    F.col("v").alias("vid"),
+                    F.transform("zu", lambda x: F.col("c") * x).alias("g"),
+                )
+            )
+            dz = (
+                contrib.select("vid", F.posexplode("g").alias("dim", "x"))
+                .groupBy("vid", "dim")
+                .agg(F.sum("x").alias("gx"))
+                .groupBy("vid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "gx"))),
+                        lambda s: s["gx"],
+                    ).alias("dz")
+                )
+            )
+            back_in = joined.join(dz, "vid")  # nodes without pairs: zero grad
+
+            def bwd(batches: Iterator[pd.DataFrame], _ws=ws, _wn=wn) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    hv = np.stack(pdf["emb"].to_numpy())
+                    hb = np.stack(pdf["hn"].to_numpy())
+                    dzm = np.stack(pdf["dz"].to_numpy())
+                    pre = hv @ _ws.T + hb @ _wn.T
+                    dpre = dzm * (pre > 0.0)
+                    gs = dpre.T @ hv  # d_out × d_in
+                    gn = dpre.T @ hb
+                    yield pd.DataFrame(
+                        {"gs": [gs.ravel().tolist()], "gn": [gn.ravel().tolist()]}
+                    )
+
+            parts = back_in.mapInPandas(
+                bwd, schema="gs array<double>, gn array<double>"
+            ).collect()
+            z.unpersist()
+            gs_sum = np.zeros_like(w_self)
+            gn_sum = np.zeros_like(w_neigh)
+            for r in parts:
+                gs_sum += np.array(r["gs"]).reshape(w_self.shape)
+                gn_sum += np.array(r["gn"]).reshape(w_neigh.shape)
+            w_self = w_self - learning_rate * gs_sum / n_pairs
+            w_neigh = w_neigh - learning_rate * gn_sum / n_pairs
+        trained.append({"w_self": w_self.tolist(), "w_neigh": w_neigh.tolist()})
+        losses.append(layer_losses)
+        # materialize this layer's activations as the next layer's input
+        if li + 1 < layers:
+            ws, wn = w_self, w_neigh
+
+            def step(batches: Iterator[pd.DataFrame], _ws=ws, _wn=wn) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    hv = np.stack(pdf["emb"].to_numpy())
+                    hb = np.stack(pdf["hn"].to_numpy())
+                    z = np.maximum(hv @ _ws.T + hb @ _wn.T, 0.0)
+                    yield pd.DataFrame({"vid": pdf["vid"], "emb": list(z)})
+
+            h = joined.mapInPandas(
+                step, schema="vid long, emb array<double>"
+            ).localCheckpoint(eager=True)
+        joined.unpersist()
+    pairs.unpersist()
+    edges.unpersist()
+    return GraphSageTrainResult(model=GraphSageModel(layers=trained), losses=losses)

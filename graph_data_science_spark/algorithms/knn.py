@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.functions import cosine_similarity
-from graph_data_science_spark.operators.similarity import lsh_buckets
+from graph_data_science_spark.operators.similarity import lsh_buckets, with_unit_vectors
 
 
 def knn(
@@ -58,16 +58,24 @@ def knn(
     else:
         dim = len(node_vectors.select(vec_col).first()[0])
         bk = lsh_buckets(node_vectors, dim, n_bits, n_tables, seed, id_col, vec_col)
-        a = bk.select(
-            F.col("id").alias("node1"), F.col("unit_vec").alias("_va"), "table", "bucket"
+        # Candidate generation carries ONLY the id pair through the
+        # cross-table dedup shuffle (2 longs/row, not 2×dim floats); the
+        # unit vectors are joined back afterwards — at scale this is the
+        # difference between shuffling ids and shuffling the embedding
+        # table n_tables× over.
+        cand = (
+            bk.select(F.col("id").alias("node1"), "table", "bucket")
+            .join(bk.select(F.col("id").alias("node2"), "table", "bucket"), ["table", "bucket"])
+            .filter(F.col("node1") != F.col("node2"))
+            .select("node1", "node2")
+            .dropDuplicates(["node1", "node2"])
         )
-        b = bk.select(
-            F.col("id").alias("node2"), F.col("unit_vec").alias("_vb"), "table", "bucket"
+        uv = with_unit_vectors(node_vectors, vec_col).select(
+            F.col(id_col).alias("id"), "unit_vec"
         )
         pairs = (
-            a.join(b, ["table", "bucket"])
-            .filter(F.col("node1") != F.col("node2"))
-            .dropDuplicates(["node1", "node2"])
+            cand.join(uv.select(F.col("id").alias("node1"), F.col("unit_vec").alias("_va")), "node1")
+            .join(uv.select(F.col("id").alias("node2"), F.col("unit_vec").alias("_vb")), "node2")
             .select(
                 "node1",
                 "node2",

@@ -115,7 +115,11 @@ def leiden(
         q = _global_q(edges, final_assign, two_m)
         if q > best_qv:
             best_qv, best_final = q, final_assign
-        if n_comms == n_nodes or q <= prev_q + 1e-9:
+        # Refinement + aggregation only shape the NEXT level's graph; on the
+        # final level they are dead work (the streamed communities are the
+        # move-phase assignment) — skip them instead of computing a coarse
+        # graph nothing consumes. Halves the job count at max_levels=1.
+        if level + 1 >= max_levels or n_comms == n_nodes or q <= prev_q + 1e-9:
             metrics.append(
                 {"level": level, "communities": n_comms, "refined": n_nodes, "q": q}
             )

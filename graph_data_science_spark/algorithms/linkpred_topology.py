@@ -69,8 +69,11 @@ def topology_link_prediction(
     # z's own neighborhood size for the weighted sums (1/ln, 1/sz);
     # z is a common neighbor of two distinct nodes => |N(z)| >= 2 on an
     # undirected projection, so ln|N(z)| > 0; nullif guards directed use.
+    # LEFT join: on a directed projection a witness z may have zero
+    # out-degree — it must still COUNT as a common neighbor (zsz null →
+    # its 1/ln and 1/sz terms are null and F.sum skips them).
     zdeg = deg.select(F.col("src").alias("z"), F.col("sz").alias("zsz"))
-    idx = idx.join(zdeg, "z")
+    idx = idx.join(zdeg, "z", "left")
 
     a = idx.select(F.col("node").alias("node1"), "z", "zsz")
     b = idx.select(F.col("node").alias("node2"), "z")
@@ -87,11 +90,25 @@ def topology_link_prediction(
         )
         .filter(F.col("common_neighbors") >= min_common_neighbors)
     )
+    # total_neighbors = |N(a) ∪ N(b)| must use the SAME neighbor sets the
+    # intersection was counted over: with a hub cutoff active, union sizes
+    # come from the filtered index (otherwise sz1+sz2−common overstates the
+    # union by exactly the dropped hubs). preferential_attachment keeps the
+    # true degrees — the reference defines it on full neighborhood sizes
+    # and no intersection consistency is at stake.
+    if degree_cutoff_max is not None:
+        udeg = idx.groupBy("node").agg(F.count(F.lit(1)).alias("usz"))
+    else:
+        udeg = deg.select(F.col("src").alias("node"), F.col("sz").alias("usz"))
     s1 = deg.select(F.col("src").alias("node1"), F.col("sz").alias("sz1"))
     s2 = deg.select(F.col("src").alias("node2"), F.col("sz").alias("sz2"))
+    u1 = udeg.select(F.col("node").alias("node1"), F.col("usz").alias("usz1"))
+    u2 = udeg.select(F.col("node").alias("node2"), F.col("usz").alias("usz2"))
     out = (
         pairs.join(s1, "node1")
         .join(s2, "node2")
+        .join(u1, "node1")
+        .join(u2, "node2")
         .select(
             "node1",
             "node2",
@@ -101,7 +118,7 @@ def topology_link_prediction(
             (F.col("sz1") * F.col("sz2")).cast("long").alias(
                 "preferential_attachment"
             ),
-            (F.col("sz1") + F.col("sz2") - F.col("common_neighbors"))
+            (F.col("usz1") + F.col("usz2") - F.col("common_neighbors"))
             .cast("long")
             .alias("total_neighbors"),
         )

@@ -190,11 +190,28 @@ def bellman_ford(
         max_iterations=cap,
         allow_negative=True,
     )
-    neg = bool(
+    still_improving = bool(
         res.iterations >= cap
         and res.metrics
         and res.metrics[-1].get("changed", 0) > 0
     )
+    # "Still improving at the cap" proves a negative cycle ONLY when the
+    # cap is the full n-round Bellman-Ford budget (a shortest simple path
+    # has ≤ n−1 edges). With a user-trimmed budget it just means
+    # "unconverged" — flagging it as a cycle would poison correct
+    # finite distances to −inf.
+    full_budget = max_iterations is None or max_iterations >= n
+    neg = still_improving and full_budget
+    if still_improving and not full_budget:
+        import warnings
+
+        warnings.warn(
+            f"bellman_ford stopped at max_iterations={max_iterations} < "
+            f"node_count={n} while distances were still improving: result "
+            "is unconverged and negative-cycle detection was skipped",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     dist = res.distances
     if neg:
         # Seed the poisoned region: nodes whose label still improves in
@@ -656,9 +673,15 @@ def all_pairs_hops(
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
+            nxt.unpersist()
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        new_settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        settled.unpersist()
+        if frontier is not settled:
+            frontier.unpersist()  # the previous round's nxt, now folded in
+        # nxt stays persisted one more round (it is the next frontier).
         frontier = nxt
+        settled = new_settled
         d += 1
     edges.unpersist()
     return settled
@@ -718,6 +741,7 @@ def all_pairs_distances(
             .localCheckpoint(eager=True)
         )
         n_changed = int(nxt.agg(F.sum("changed")).collect()[0][0] or 0)
+        state.unpersist()  # superseded checkpoint — keep a two-copy bound
         state = nxt
         it += 1
         if n_changed == 0:

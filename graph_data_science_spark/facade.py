@@ -640,8 +640,10 @@ class _TopologyLinkPredictionProc:
 
 
 class _GraphSageProc:
-    """``gds.beta.graphSage`` — inference/stream path (train imports via
-    the model catalog; see algorithms/graphsage.py scope note)."""
+    """``gds.beta.graphSage`` — stream (inference) + train (greedy
+    layer-wise full-batch GD on the Hamilton-2017 unsupervised edge loss;
+    see algorithms/graphsage.py). ``train`` stores the weights in the
+    model catalog when one is configured, like KGE/pipeline models."""
 
     def __init__(self, gds: "SparkGDS") -> None:
         self.gds = gds
@@ -653,6 +655,18 @@ class _GraphSageProc:
         return res.embeddings.join(graph.nodes, "vid").select(
             F.col("orig_id").alias("node_id"), "embedding"
         )
+
+    def train(self, graph: ProjectedGraph, model_name: str | None = None, **config):
+        from graph_data_science_spark.algorithms.graphsage import graph_sage_train
+
+        res = graph_sage_train(graph, **config)
+        if model_name is not None and self.gds.model is not None:
+            self.gds.model.store(
+                model_name,
+                "graphsage",
+                params={"layers": res.model.layers, "losses": res.losses},
+            )
+        return res
 
 
 class _MaxKCutProc:

@@ -44,6 +44,15 @@ def split_relationships(
     edges = graph.edges.select("src", "dst", "weight").filter(
         F.col("src") != F.col("dst")
     )
+    # On an UNDIRECTED projection both directions of a relationship are
+    # materialized; ranking them independently could put (a,b) in train
+    # and (b,a) in holdout — leaking every "held-out" relationship into
+    # training. Split the canonical src<dst slice instead and re-emit both
+    # directions per partition (symmetric weights by construction:
+    # undirect_edges sums both directions into each).
+    undirected = graph.orientation == "UNDIRECTED"
+    if undirected:
+        edges = edges.filter(F.col("src") < F.col("dst"))
     n = graph.node_count
     keyed = edges.withColumn("_key", F.col("src") * F.lit(n) + F.col("dst"))
     ranks = assign_dense_ids(keyed.select("_key"), id_col="_key").select(
@@ -54,4 +63,13 @@ def split_relationships(
     )
     train = tagged.filter(~F.col("_hold")).select("src", "dst", "weight")
     holdout = tagged.filter(F.col("_hold")).select("src", "dst", "weight")
+    if undirected:
+        def _both(df: DataFrame) -> DataFrame:
+            return df.unionByName(
+                df.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                )
+            )
+
+        train, holdout = _both(train), _both(holdout)
     return RelationshipSplit(train=train, holdout=holdout, stride=stride)

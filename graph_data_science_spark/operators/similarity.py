@@ -131,20 +131,33 @@ def cosine_lsh_topk(
     force; recall measured in tests (≥0.9@10 on the test corpus)."""
     cb = lsh_buckets(corpus, dim, n_bits, n_tables, seed, id_col, vec_col)
     qb = lsh_buckets(queries, dim, n_bits, n_tables, seed, id_col, vec_col)
+    # Dedup candidate pairs on ids only (2 keys/row through the shuffle),
+    # then join the unit vectors back — the vectors never ride the
+    # n_tables-wide candidate shuffle.
     cand = (
-        cb.select(F.col("id").alias("neighbor_id"), F.col("unit_vec").alias("cv"), "table", "bucket")
+        cb.select(F.col("id").alias("neighbor_id"), "table", "bucket")
         .join(
-            qb.select(F.col("id").alias("query_id"), F.col("unit_vec").alias("qv"), "table", "bucket"),
+            qb.select(F.col("id").alias("query_id"), "table", "bucket"),
             ["table", "bucket"],
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    cuv = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv")
+    )
+    quv = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    scored = (
+        cand.join(quv, "query_id")
+        .join(cuv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -175,13 +188,19 @@ def embedding_neardup_pairs(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         bk = lsh_buckets(df, dim, n_bits, n_tables, seed, id_col, vec_col)
-        a = bk.select(F.col("id").alias("id_a"), F.col("unit_vec").alias("va"), "table", "bucket")
-        b = bk.select(F.col("id").alias("id_b"), F.col("unit_vec").alias("vb"), "table", "bucket")
-        pairs = (
-            a.join(b, ["table", "bucket"])
+        # Id-only candidate dedup, vectors joined back after (see
+        # cosine_lsh_topk) — the candidate shuffle carries 2 longs/row.
+        cand = (
+            bk.select(F.col("id").alias("id_a"), "table", "bucket")
+            .join(bk.select(F.col("id").alias("id_b"), "table", "bucket"), ["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+        )
+        u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
+        pairs = (
+            cand.join(u.select(F.col("id").alias("id_a"), F.col("unit_vec").alias("va")), "id_a")
+            .join(u.select(F.col("id").alias("id_b"), F.col("unit_vec").alias("vb")), "id_b")
         )
     return (
         pairs.select(

@@ -386,6 +386,26 @@ class TestKSpanningAndSplit:
             and sp2.holdout.exceptAll(sp.holdout).count() == 0
         )
 
+    def test_split_undirected_no_direction_leak(self, spark):
+        """On an UNDIRECTED projection both directions of a relationship
+        must land on the SAME side of the split (ADVICE r3: ranking the
+        directed rows independently leaked holdout edges into train)."""
+        from graph_data_science_spark.ml.split import split_relationships
+
+        nodes, edges = fixtures.gnm(n=20, m=40, seed=5)
+        nodes = [str(n) for n in nodes]
+        edges = [(str(s), str(d), 1.0) for s, d, _ in edges if str(s) != str(d)]
+        g = _project(spark, nodes, edges, orientation="UNDIRECTED")
+        sp = split_relationships(g, holdout_fraction=0.2)
+        hold = {(r["src"], r["dst"]) for r in sp.holdout.collect()}
+        train = {(r["src"], r["dst"]) for r in sp.train.collect()}
+        assert hold and train
+        assert all((b, a) in hold for (a, b) in hold)
+        assert all((b, a) in train for (a, b) in train)
+        assert hold.isdisjoint(train)
+        total = g.edges.filter("src != dst").count()
+        assert len(hold) + len(train) == total
+
 
 class TestKgePredict:
     def test_matches_numpy(self, spark):

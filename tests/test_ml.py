@@ -194,3 +194,123 @@ class TestGraphSage:
             z = np.maximum(ws @ hv + wn @ hb, 0.0)
             nz = np.linalg.norm(z) or 1.0
             assert np.allclose(got[v], z / nz, atol=1e-9)
+
+
+class TestGraphSageTrain:
+    """graph_sage_train vs an exact numpy twin: same deterministic init,
+    same hash negatives, same greedy layer-wise full-batch GD schedule."""
+
+    @staticmethod
+    def _numpy_twin(vid_edges, feats, n, dims, epochs, lr, q, seed):
+        import numpy as np
+        from graph_data_science_spark.algorithms.graphsage import GraphSageModel
+
+        edges = sorted(set(vid_edges))
+        H = np.array([feats[v] for v in range(n)], dtype=np.float64)
+        init = GraphSageModel.deterministic(dims, seed=seed)
+        pairs = [(u, v, 1.0) for u, v in edges]
+        for i in range(q):
+            pairs += [
+                (u, (u * 2654435761 + v * 97 + i * 31 + seed) % n, 0.0)
+                for u, v in edges
+            ]
+        trained, losses = [], []
+        for li in range(len(dims) - 1):
+            hn = np.zeros_like(H)
+            cnt = np.zeros(n)
+            for u, v in edges:
+                hn[v] += H[u]
+                cnt[v] += 1
+            hn[cnt > 0] /= cnt[cnt > 0, None]
+            ws = np.array(init.layers[li]["w_self"])
+            wn = np.array(init.layers[li]["w_neigh"])
+            layer_losses = []
+            for _ in range(epochs):
+                pre = H @ ws.T + hn @ wn.T
+                Z = np.maximum(pre, 0.0)
+                dZ = np.zeros_like(Z)
+                L = 0.0
+                for u, v, label in pairs:
+                    s = float(Z[u] @ Z[v])
+                    c = 1.0 / (1.0 + np.exp(-s)) - label
+                    L += np.log1p(np.exp(-s)) if label else np.log1p(np.exp(s))
+                    dZ[u] += c * Z[v]
+                    dZ[v] += c * Z[u]
+                layer_losses.append(L / len(pairs))
+                dpre = dZ * (pre > 0.0)
+                ws = ws - lr * (dpre.T @ H) / len(pairs)
+                wn = wn - lr * (dpre.T @ hn) / len(pairs)
+            trained.append((ws, wn))
+            losses.append(layer_losses)
+            pre = H @ ws.T + hn @ wn.T
+            H = np.maximum(pre, 0.0)
+        return trained, losses
+
+    def _setup(self, spark):
+        import numpy as np
+
+        nodes, edges = fixtures.gnm(n=14, m=30, seed=11)
+        nodes = [str(x) for x in nodes]
+        edges = [(str(s), str(d), 1.0) for s, d, _ in edges if str(s) != str(d)]
+        g = _project(spark, nodes, edges)
+        rng = np.random.default_rng(3)
+        feats = {v: [1.0, float(rng.integers(0, 5)), float(rng.integers(0, 3))]
+                 for v in range(g.node_count)}
+        fdf = spark.createDataFrame(
+            [(v, f) for v, f in feats.items()], "vid long, features array<double>"
+        )
+        vid_edges = [
+            (r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()
+        ]
+        return g, fdf, feats, vid_edges
+
+    def test_matches_numpy_one_layer(self, spark):
+        import numpy as np
+        from graph_data_science_spark.algorithms.graphsage import graph_sage_train
+
+        g, fdf, feats, vid_edges = self._setup(spark)
+        res = graph_sage_train(
+            g, features=fdf, embedding_dimension=4, layers=1,
+            epochs=3, learning_rate=0.5, negative_samples=2, seed=42,
+        )
+        trained, losses = self._numpy_twin(
+            vid_edges, feats, g.node_count, [3, 4], epochs=3, lr=0.5, q=2, seed=42
+        )
+        assert np.allclose(res.model.layers[0]["w_self"], trained[0][0], atol=1e-8)
+        assert np.allclose(res.model.layers[0]["w_neigh"], trained[0][1], atol=1e-8)
+        assert np.allclose(res.losses[0], losses[0], atol=1e-8)
+
+    def test_two_layer_greedy_stack_and_loss_decreases(self, spark):
+        import numpy as np
+        from graph_data_science_spark.algorithms.graphsage import graph_sage_train
+
+        g, fdf, feats, vid_edges = self._setup(spark)
+        res = graph_sage_train(
+            g, features=fdf, embedding_dimension=4, layers=2,
+            epochs=4, learning_rate=0.5, negative_samples=2, seed=42,
+        )
+        trained, losses = self._numpy_twin(
+            vid_edges, feats, g.node_count, [3, 4, 4], epochs=4, lr=0.5, q=2, seed=42
+        )
+        for li in range(2):
+            assert np.allclose(res.model.layers[li]["w_self"], trained[li][0], atol=1e-7)
+            assert np.allclose(res.model.layers[li]["w_neigh"], trained[li][1], atol=1e-7)
+        # the training signal: loss decreases within each layer
+        for layer_losses in res.losses:
+            assert layer_losses[-1] < layer_losses[0]
+
+    def test_trained_model_runs_inference_and_stores(self, spark, tmp_path):
+        from graph_data_science_spark.algorithms.graphsage import graph_sage
+        from graph_data_science_spark.facade import SparkGDS
+
+        g, fdf, _feats, _ = self._setup(spark)
+        gds = SparkGDS(spark, model_dir=str(tmp_path / "models"))
+        res = gds.graph_sage.train(
+            g, model_name="gs1", features=fdf, embedding_dimension=4,
+            layers=1, epochs=2, learning_rate=0.5, negative_samples=1, seed=42,
+        )
+        emb = graph_sage(g, features=fdf, model=res.model)
+        assert emb.embeddings.count() == g.node_count
+        meta, _arts = gds.model.load("gs1")
+        assert meta["type"] == "graphsage"
+        assert len(meta["params"]["layers"]) == 1

@@ -36,6 +36,8 @@ def run_point(heap: str, cpus: int, n_convs: int, supersteps: int) -> dict:
         SPARK_GRAFT_BENCH_SUPERSTEPS=str(supersteps),
         SPARK_GRAFT_BENCH_SUITE="0",
     )
+    # fresh-JVM repeats are the outer loop; one timed run per process
+    env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -68,7 +70,7 @@ def main() -> None:
                     print(f"[rep{rep}] heap={heap} local[{cpus}] ERROR: {d['error'][:300]}", flush=True)
                 else:
                     print(
-                        f"[rep{rep}] heap={heap} local[{cpus}]: pagerank {d['pagerank_sec']}s "
+                        f"[rep{rep}] heap={heap} local[{cpus}]: pagerank {d['pagerank_total_sec']}s "
                         f"({d['value']:,} edges/s), project {d['project_sec']}s",
                         flush=True,
                     )
@@ -81,9 +83,9 @@ def main() -> None:
         med = {}
         for cpus in CPUS:
             vals = [
-                p["pagerank_sec"]
+                p["pagerank_total_sec"]
                 for p in points
-                if p.get("heap") == heap and p.get("cpus") == cpus and "pagerank_sec" in p
+                if p.get("heap") == heap and p.get("cpus") == cpus and "pagerank_total_sec" in p
             ]
             if vals:
                 med[cpus] = statistics.median(vals)

@@ -47,12 +47,17 @@ def run_at(cpus: int, n_convs: int, supersteps: int) -> dict:
         SPARK_GRAFT_BENCH_SUPERSTEPS=str(supersteps),
         SPARK_GRAFT_BENCH_SUITE="0",  # throughput section only
     )
-    # fused>1 is NOT used here: a fused chain references the state plan
-    # twice per step, so execution re-runs earlier supersteps ~2^k-fold —
-    # a net loss at 27M edges (measured: 201 s vs ~75 s at local[8]).
-    # metrics-off is the pure serial win (no per-superstep collect job).
-    env.setdefault("SPARK_GRAFT_BENCH_FUSED", "1")
+    # fused=4 is the production fixed-iteration default since the round-3
+    # recompute fix (pregel.py lazy localCheckpoint of fused links: each
+    # superstep computes exactly once even though the next step references
+    # its input twice) — bit-identical results, 4× fewer driver-serial
+    # scheduling barriers. Pre-fix, fused chains re-ran earlier supersteps
+    # ~2^k-fold (201 s vs ~75 s at 27M/local[8]); that note is retired.
+    # metrics-off removes the per-superstep convergence collect job.
+    env.setdefault("SPARK_GRAFT_BENCH_FUSED", "4")
     env.setdefault("SPARK_GRAFT_BENCH_METRICS", "0")
+    # fresh-JVM repeats are the OUTER loop here; one timed run per process
+    env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -75,16 +80,16 @@ def main() -> None:
             r = run_at(cpus, n_convs, supersteps)
             cells[cpus].append(r)
             print(
-                f"[rep{rep}] local[{cpus}]: {r['pagerank_sec']}s for {supersteps} "
+                f"[rep{rep}] local[{cpus}]: {r['pagerank_total_sec']}s for {supersteps} "
                 f"supersteps ({r['value']:,} edges/sec)",
                 flush=True,
             )
 
     def best(cpus: int) -> dict:
-        return min(cells[cpus], key=lambda r: r["pagerank_sec"])
+        return min(cells[cpus], key=lambda r: r["pagerank_total_sec"])
 
-    t8_all = [r["pagerank_sec"] for r in cells[8]]
-    t32_all = [r["pagerank_sec"] for r in cells[32]]
+    t8_all = [r["pagerank_total_sec"] for r in cells[8]]
+    t32_all = [r["pagerank_total_sec"] for r in cells[32]]
     t8, t32 = min(t8_all), min(t32_all)
     t8_med, t32_med = statistics.median(t8_all), statistics.median(t32_all)
     eff = (t8 / t32) / 4.0

@@ -6,10 +6,15 @@ values. Usage: python tools/compare_oracle.py [query ...]
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import sys
 import time
+
+# Line-flushed output: a bounded/killed gate run must keep every line
+# already produced (fully-buffered stdout loses ALL of it on SIGKILL).
+print = functools.partial(print, flush=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
