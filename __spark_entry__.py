@@ -1527,6 +1527,47 @@ def q_kge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return te.join(dm, ["head", "rel", "tail"])
 
 
+# KGE training config (shared with _kge_train_oracle — the SQL twin
+# unrolls exactly these epochs with the same hash init/negatives).
+KGE_TRAIN_DIM = 4
+KGE_TRAIN_EPOCHS = 3
+KGE_TRAIN_LR = 0.5
+KGE_TRAIN_Q = 2
+KGE_TRAIN_SEED = 42
+
+
+def q_kge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGE TRAINING (the ``gds.ml.kge`` model-producing side; upstream GDS
+    trains via its PyG integration — this engine trains Spark-natively,
+    ml/kge.py train_kge): 3 full-batch DistMult epochs over 25 triples
+    from the nation table (head = nationkey, rel = regionkey, tail = a
+    coprime permutation of nationkey, so the dense entity ranks equal the
+    raw ids and the SQL twin can skip the rank CTE). Oracle: fully
+    unrolled epochs — per-(id,dim) gradient sums as grouped joins, exact
+    same hash init and negative corruption."""
+    from graph_data_science_spark.ml.kge import train_kge
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    triples = nation.select(
+        F.col("n_nationkey").cast("long").alias("head"),
+        F.col("n_regionkey").cast("long").alias("rel"),
+        ((F.col("n_nationkey") * 7 + 3) % 25).cast("long").alias("tail"),
+    )
+    res = train_kge(
+        triples,
+        scoring="distmult",
+        embedding_dimension=KGE_TRAIN_DIM,
+        epochs=KGE_TRAIN_EPOCHS,
+        learning_rate=KGE_TRAIN_LR,
+        negative_samples=KGE_TRAIN_Q,
+        seed=KGE_TRAIN_SEED,
+    )
+    return res.node_embeddings.select(
+        F.col("id").cast("long").alias("entity"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("entity", "dim", F.round("v", 6).alias("value"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped event log → edges → PageRank scores."""
     return q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1601,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "articulation_points": q_articulation_points,
         "kge_predict": q_kge_predict,
+        "kge_train": q_kge_train,
         # ---- rows-only (pinned by in-repo pytest oracles) ----
         # The boundary is principled, not lazy: every query below either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -3407,6 +3449,106 @@ FROM kgj
 """
 
 
+def _kge_train_oracle() -> str:
+    """Unrolled full-batch DistMult GD (ml/kge.py train_kge): the same
+    integer hash mixes for init + negative corruption, epochs unrolled as
+    CTE pairs (emb_k, rel_k). Entity ranks equal raw nation keys by
+    construction of q_kge_train's triple set (coprime permutation), so no
+    dense-rank CTE is needed."""
+    from graph_data_science_spark.ml.kge import (
+        _INIT_A, _INIT_B, _INIT_C, _INIT_MOD,
+        _NEG_A, _NEG_B, _NEG_C, _NEG_D,
+    )
+
+    d, epochs, lr, q, seed = (
+        KGE_TRAIN_DIM, KGE_TRAIN_EPOCHS, KGE_TRAIN_LR, KGE_TRAIN_Q,
+        KGE_TRAIN_SEED,
+    )
+    n_ent = 25
+    n_rows = n_ent + n_ent * q  # positives + negatives
+    step = repr(lr / n_rows)
+    sql = f"""
+WITH dims AS (SELECT range::BIGINT AS dim FROM range({d})),
+samples AS (SELECT range::BIGINT AS i FROM range({q})),
+trip AS (
+    SELECT n_nationkey::BIGINT AS h, n_regionkey::BIGINT AS r,
+           ((n_nationkey * 7 + 3) % 25)::BIGINT AS t
+    FROM nation
+),
+ents AS (SELECT DISTINCT e AS id FROM (SELECT h AS e FROM trip UNION ALL SELECT t AS e FROM trip)),
+prs AS (
+    SELECT h, r, t, i,
+           ((h * {_NEG_A} + t * {_NEG_B} + r * {_NEG_C} + (i * 31 + {seed}) * {_NEG_D}) % {n_ent}) AS corr
+    FROM trip CROSS JOIN samples
+),
+rws AS (
+    SELECT h * 10 + 9 AS pid, h AS hid, r AS rid, t AS tid, 1.0 AS y FROM trip
+    UNION ALL
+    SELECT h * 10 + i AS pid,
+           CASE WHEN i % 2 = 1 THEN corr ELSE h END AS hid,
+           r AS rid,
+           CASE WHEN i % 2 = 0 THEN corr ELSE t END AS tid,
+           0.0 AS y
+    FROM prs
+),
+emb0 AS (
+    SELECT e.id, dm.dim,
+           ((((e.id * {_INIT_A} + dm.dim * {_INIT_B} + {seed} * {_INIT_C}) % {_INIT_MOD}) / 1000000.0) - 1.0) / sqrt({d}.0) AS v
+    FROM ents e CROSS JOIN dims dm
+),
+rel0 AS (
+    SELECT rr.rid AS id, dm.dim,
+           ((((rr.rid * {_INIT_A} + dm.dim * {_INIT_B} + {seed + 1} * {_INIT_C}) % {_INIT_MOD}) / 1000000.0) - 1.0) / sqrt({d}.0) AS v
+    FROM (SELECT DISTINCT r AS rid FROM trip) rr CROSS JOIN dims dm
+)"""
+    for k in range(epochs):
+        sql += f"""
+, cr{k} AS (
+    SELECT pid, hid, rid, tid, y, 1.0 / (1.0 + exp(-s)) - y AS c
+    FROM (
+        SELECT rw.pid, rw.hid, rw.rid, rw.tid, rw.y,
+               sum(eh.v * er.v * et.v) AS s
+        FROM rws rw
+        JOIN emb{k} eh ON eh.id = rw.hid
+        JOIN rel{k} er ON er.id = rw.rid AND er.dim = eh.dim
+        JOIN emb{k} et ON et.id = rw.tid AND et.dim = eh.dim
+        GROUP BY rw.pid, rw.hid, rw.rid, rw.tid, rw.y
+    )
+),
+ge{k} AS (
+    SELECT id, dim, sum(g) AS g FROM (
+        SELECT rw.hid AS id, er.dim, rw.c * er.v * et.v AS g
+        FROM cr{k} rw
+        JOIN rel{k} er ON er.id = rw.rid
+        JOIN emb{k} et ON et.id = rw.tid AND et.dim = er.dim
+        UNION ALL
+        SELECT rw.tid AS id, eh.dim, rw.c * eh.v * er.v AS g
+        FROM cr{k} rw
+        JOIN emb{k} eh ON eh.id = rw.hid
+        JOIN rel{k} er ON er.id = rw.rid AND er.dim = eh.dim
+    ) GROUP BY id, dim
+),
+gr{k} AS (
+    SELECT rw.rid AS id, eh.dim, sum(rw.c * eh.v * et.v) AS g
+    FROM cr{k} rw
+    JOIN emb{k} eh ON eh.id = rw.hid
+    JOIN emb{k} et ON et.id = rw.tid AND et.dim = eh.dim
+    GROUP BY rw.rid, eh.dim
+),
+emb{k + 1} AS (
+    SELECT e.id, e.dim, e.v - {step} * coalesce(g.g, 0.0) AS v
+    FROM emb{k} e LEFT JOIN ge{k} g ON g.id = e.id AND g.dim = e.dim
+),
+rel{k + 1} AS (
+    SELECT e.id, e.dim, e.v - {step} * coalesce(g.g, 0.0) AS v
+    FROM rel{k} e LEFT JOIN gr{k} g ON g.id = e.id AND g.dim = e.dim
+)"""
+    sql += f"""
+SELECT id AS entity, dim, round(v, 6) AS value FROM emb{epochs}
+"""
+    return sql
+
+
 def _dag_oracle() -> str:
     """Unrolled max-relaxation on the acyclic src<dst subgraph:
     level(v) = 1 + max over preds; DAG_ROUNDS > the subgraph's depth, and
@@ -3712,6 +3854,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "bridges": _bridges_oracle(),
         "articulation_points": _articulation_oracle(),
         "kge_predict": _KGE_ORACLE,
+        "kge_train": _kge_train_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,
     # so it shares the exact twin's oracle (same recipe as

@@ -790,6 +790,31 @@ class SparkGDS:
 
         return predict_kge(triples, node_embeddings, relation_embeddings, **kw)
 
+    def kge_train(self, triples: DataFrame, model_name: str | None = None, **kw):
+        """``gds.ml.kge`` training (Spark-native; upstream GDS routes this
+        through its external PyG integration): full-batch TransE /
+        DistMult GD over (head, rel, tail) triples — the embedding tables
+        ARE the distributed parameters. Optionally stores the result in
+        the model catalog under ``model_name``."""
+        from graph_data_science_spark.ml.kge import train_kge
+
+        res = train_kge(triples, **kw)
+        if model_name is not None and self.model is not None:
+            self.model.store(
+                model_name,
+                "kge",
+                params={
+                    "scoring": res.scoring,
+                    "dimension": res.dimension,
+                    "losses": res.losses,
+                },
+                artifacts={
+                    "node_embeddings": res.node_embeddings,
+                    "relation_embeddings": res.relation_embeddings,
+                },
+            )
+        return res
+
     def bridges(self, graph: ProjectedGraph, **kw) -> DataFrame:
         """``gds.bridges``: edges whose removal disconnects their
         component (any-spanning-tree covering walk)."""
