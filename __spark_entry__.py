@@ -431,6 +431,22 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping SSSP (reference ``gds.allShortestPaths.delta``):
+    the real bucketed light/heavy implementation, reference-default
+    Δ = 2.0. Must equal plain ``sssp`` exactly, so it shares sssp's
+    unrolled-relax SQL oracle verbatim."""
+    from graph_data_science_spark.algorithms.paths import delta_stepping
+
+    src = _min_node(spark, sf_dir)
+    g = _graph(spark, sf_dir)
+    res = delta_stepping(g, [src], delta=2.0)
+    return (
+        res.distances.join(g.nodes, "vid")
+        .select(F.col("orig_id").alias("node_id"), F.round("distance", 6).alias("distance"))
+    )
+
+
 def _sp_source_target(spark: SparkSession, sf_dir: str):
     """(graph, tree, source, target) shared by the source-target path
     queries: source = min node id, target = max node id reached from it
@@ -1064,6 +1080,50 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node2vec_sgns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node2Vec with TRUE SGNS training (``training="sgd"``: full-batch
+    skip-gram-with-negative-sampling GD over the walk-corpus pair counts;
+    the in/out embedding tables are the distributed parameters). Emits
+    dim + L2 like q_node2vec. Rows-only: the walk corpus is
+    xxhash-derived; the GD itself is pinned by an exact numpy twin in
+    tests/test_node2vec_sgns.py."""
+    from graph_data_science_spark.algorithms.node2vec import node2vec
+
+    g = _graph(spark, sf_dir)
+    res = node2vec(
+        g, embedding_dimension=16, walks_per_node=2, walk_length=6,
+        training="sgd", epochs=2, negative_sampling_rate=1,
+    )
+    return res.embeddings.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"),
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 3
+        ).alias("l2"),
+    )
+
+
+def q_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN over the embeddings table (reference ``gds.hdbscan``,
+    GDS 2.13 production tier): k-NN mutual-reachability → Borůvka MST →
+    condensed-tree EOM labels. Emits per-cluster size + noise row.
+    Rows-only: the MST tie-break order and the dendrogram walk have no
+    SQL twin; blob-recovery/noise/determinism pinned in
+    tests/test_hdbscan.py."""
+    from graph_data_science_spark.operators.hdbscan import hdbscan
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    ).filter(F.col("vec_id") < 200)  # deterministic subset (limit isn't)
+    res = hdbscan(emb, min_cluster_size=5)
+    return (
+        res.labels.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy("cluster")
+    )
+
+
 def q_max_kcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx max k-cut (k=3, deterministic BSP local search). Rows-only:
     iterative argmin has no SQL twin; bipartite-recovery + cut-monotone +
@@ -1604,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "bfs": q_bfs,
         "sssp": q_sssp,
+        "sssp_delta": q_sssp_delta,
         "shortest_path_target": q_shortest_path_target,
         "astar_path": q_astar_path,
         "node_similarity": q_node_similarity,
@@ -1662,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sample_rwr": q_graph_sample_rwr,
         "node2vec_walks": q_node2vec_walks,
         "node2vec": q_node2vec,
+        "node2vec_sgns": q_node2vec_sgns,
+        "hdbscan": q_hdbscan,
         "sllpa": q_sllpa,
         "hashgnn": q_hashgnn,
         "influence_celf": q_influence_celf,
@@ -3780,6 +3843,7 @@ FROM per_src FULL OUTER JOIN per_dst USING (community)
         "modularity": _MODULARITY_ORACLE,
         "bfs": _relax_oracle(weighted=False),
         "sssp": _relax_oracle(weighted=True),
+        "sssp_delta": _relax_oracle(weighted=True),
         "shortest_path_target": _shortest_path_oracle(),
         "astar_path": _shortest_path_oracle(),
         "node_similarity": _NODE_SIM_ORACLE,

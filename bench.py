@@ -35,10 +35,11 @@ def run_bench(
 
     import __spark_entry__ as entrymod
 
+    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "0")) or max(cpus, 8)
     spark = get_spark(
         app_name=f"gds-bench-c{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=shuffle,
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
@@ -83,10 +84,17 @@ def run_bench(
     # touch), then ``repeats`` (≥3) timed full runs of ``pr_supersteps``
     # supersteps; the headline is edges/s at the MEDIAN total wall, with
     # every repeat published inline so BENCH_rN vs rN-1 is comparable
-    # without a noise argument. fused_supersteps=4 is the production
-    # default since the r3 recompute fix (bit-identical, parity-tested):
-    # it cuts the per-superstep driver-serial term 4×.
-    fused = int(os.environ.get("SPARK_GRAFT_BENCH_FUSED", "4"))
+    # without a noise argument.
+    #
+    # fused_supersteps: measured round-4 A/B at 27M edges (same host
+    # window, fresh JVMs, alternating): fused=4 is FASTER at local[8]
+    # (85.6 vs 100.3 s — fewer driver barriers when compute-bound) but
+    # SLOWER at local[32] (71.0 vs 53.3/66.4 s — the 4-superstep-deep
+    # in-job DAG keeps 4 shuffle pipelines' buffers live across 32
+    # threads in one heap). Production target is the high-parallelism
+    # cluster, so the fixed-iteration default is 1; fused stays available
+    # for driver-bound low-parallelism deployments.
+    fused = int(os.environ.get("SPARK_GRAFT_BENCH_FUSED", "1"))
     track = os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0"
     executor = os.environ.get("SPARK_GRAFT_BENCH_EXECUTOR", "relational")
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))

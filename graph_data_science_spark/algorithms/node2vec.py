@@ -88,6 +88,9 @@ def node2vec(
     return_factor: float = 1.0,
     in_out_factor: float = 1.0,
     seed: int = 42,
+    training: str = "sppmi",
+    epochs: int = 5,
+    learning_rate: float = 0.5,
 ) -> Node2VecResult:
     """→ (vid, embedding[d]), L2-normalized. ``negative_sampling_rate``
     is SGNS's k (the PMI shift ln k); default 1 = plain PPMI — on walk
@@ -96,7 +99,14 @@ def node2vec(
     zero embeddings on small graphs); k=1 keeps the homophily signal and
     larger k remains available for sparsification at scale. Deterministic
     for fixed seed on any partitioning — walks and projection are
-    hash-derived."""
+    hash-derived.
+
+    ``training``: ``"sppmi"`` (default — closed-form SPPMI+JL
+    factorization, the scale path documented in the module docstring) or
+    ``"sgd"`` — TRUE skip-gram-with-negative-sampling gradient descent
+    (:func:`sgns_train`), for users expecting word2vec-parity vectors;
+    ``epochs``/``learning_rate``/``negative_sampling_rate`` then carry
+    their word2vec meanings (k = negative_sampling_rate negatives/pair)."""
     d = embedding_dimension
     res = node2vec_walks(
         graph,
@@ -119,6 +129,39 @@ def node2vec(
             "vid", F.array_repeat(F.lit(0.0), d).alias("embedding")
         )
         return Node2VecResult(embeddings=empty, walk_count=res.walk_count, pair_count=0)
+
+    if training == "sgd":
+        emb_sgd = sgns_train(
+            pairs,
+            node_count=graph.node_count,
+            embedding_dimension=d,
+            epochs=epochs,
+            learning_rate=learning_rate,
+            negative_samples=max(1, negative_sampling_rate),
+            seed=seed,
+        )
+        out = (
+            graph.nodes.select("vid")
+            .join(emb_sgd, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce(
+                    "embedding", F.array_repeat(F.lit(0.0), d)
+                ).alias("embedding"),
+            )
+        )
+        pair_count = pairs.count()
+        walks.unpersist()
+        pairs.unpersist()
+        return Node2VecResult(
+            embeddings=out,
+            walk_count=res.walk_count,
+            pair_count=pair_count,
+            metrics=[{"D": big_d, "dims": d, "training": "sgd",
+                      "epochs": epochs}],
+        )
+    if training != "sppmi":
+        raise ValueError(f"training must be 'sppmi' or 'sgd', got {training!r}")
 
     n_u = pairs.groupBy("u").agg(F.sum("n").alias("n_u"))
     n_c = pairs.groupBy("c").agg(F.sum("n").alias("n_c"))
@@ -188,4 +231,170 @@ def node2vec(
         walk_count=res.walk_count,
         pair_count=pair_count,
         metrics=[{"D": big_d, "dims": d, "window": window_size, "shift_k": shift}],
+    )
+
+
+# ------------------------------------------------------------ true SGNS --
+#
+# The factorization route above is the scale default; ``training="sgd"``
+# (node2vec(..., training="sgd") or sgns_train directly) runs TRUE
+# skip-gram-with-negative-sampling — the same objective word2vec/the
+# reference optimizes — as full-batch gradient descent where the in/out
+# embedding TABLES are the distributed parameters (the exact pattern of
+# ml/kge.py train_kge: hash-deterministic init + negatives, pure JVM
+# array-expression gradients, per-(vid, dim) partial+final scatter sums;
+# no parameter server, no driver-sized model, no UDF).
+
+_SG_INIT_A, _SG_INIT_B, _SG_INIT_C, _SG_INIT_MOD = (
+    1103515245, 12345, 2654435761, 2_000_000,
+)
+_SG_NEG_A, _SG_NEG_B, _SG_NEG_D = 2654435761, 1103515245, 12345
+
+
+def _sg_init(id_col, dim: int, seed: int):
+    inv = 1.0 / math.sqrt(dim)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(
+                id_col * F.lit(_SG_INIT_A) + j.cast("long") * F.lit(_SG_INIT_B)
+                + F.lit(seed * _SG_INIT_C),
+                F.lit(_SG_INIT_MOD),
+            ).cast("double") / F.lit(1_000_000.0) - F.lit(1.0)
+        ) * F.lit(inv),
+    )
+
+
+def _sg_scatter(grads: DataFrame) -> DataFrame:
+    return (
+        grads.select("id", F.posexplode("g").alias("dim", "x"))
+        .groupBy("id", "dim")
+        .agg(F.sum("x").alias("gx"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "gx"))),
+                lambda s: s["gx"],
+            ).alias("g")
+        )
+    )
+
+
+def sgns_train(
+    pairs: DataFrame,
+    node_count: int,
+    embedding_dimension: int = 64,
+    epochs: int = 5,
+    learning_rate: float = 0.5,
+    negative_samples: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Full-batch SGNS over a (u, c, n) co-occurrence table (dense vids
+    in [0, node_count)) → (vid, embedding array<double>), the IN vectors,
+    L2-normalized (word2vec convention: the context table is discarded).
+
+    Objective (Mikolov 2013):  max Σ_(u,c) n·[ln σ(w_u·c_c)
+                                   + Σ_i ln σ(−w_u·c_neg(u,c,i))]
+    Negatives: neg(u,c,i) = hash-mix(u, c, i, seed) mod node_count —
+    deterministic, replayed exactly by the numpy twin
+    (tests/test_node2vec_sgns.py). Each epoch: join pairs against the two
+    embedding tables, gradient vectors as zip_with/transform expressions,
+    scatter via per-(vid, dim) sums, update with lr/Σn. Everything
+    shuffles on vids; the per-epoch loss is the only collect.
+    """
+    d = embedding_dimension
+    q = max(1, negative_samples)
+    pr = (
+        pairs.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(q - 1))))
+        .withColumn(
+            "neg",
+            F.pmod(
+                F.col("u") * F.lit(_SG_NEG_A) + F.col("c") * F.lit(_SG_NEG_B)
+                + (F.col("i") * F.lit(31) + F.lit(seed)) * F.lit(_SG_NEG_D),
+                F.lit(node_count),
+            ).cast("long"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = pairs.agg(F.sum("n")).collect()[0][0] or 0
+    spark = pairs.sparkSession
+    ids = spark.range(node_count).select(F.col("id"))
+    w_emb = ids.select("id", _sg_init(F.col("id"), d, seed).alias("emb")
+                       ).localCheckpoint(eager=True)
+    c_emb = ids.select("id", _sg_init(F.col("id"), d, seed + 1).alias("emb")
+                       ).localCheckpoint(eager=True)
+    if total == 0:
+        pr.unpersist()
+        return w_emb.select(F.col("id").alias("vid"),
+                            F.array_repeat(F.lit(0.0), d).alias("embedding"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    step = learning_rate / float(total)
+    for _ep in range(epochs):
+        j = (
+            pr.join(w_emb.select(F.col("id").alias("u"),
+                                 F.col("emb").alias("wu")), "u")
+            .join(c_emb.select(F.col("id").alias("c"),
+                               F.col("emb").alias("cc")), "c")
+            .join(c_emb.select(F.col("id").alias("neg"),
+                               F.col("emb").alias("cn")), "neg")
+            .withColumn("sp", dot(F.col("wu"), F.col("cc")))
+            .withColumn("sn", dot(F.col("wu"), F.col("cn")))
+            # positive coefficient: only the i=0 replica carries the
+            # positive pair (pairs fan out q-fold for negatives)
+            .withColumn(
+                "cp",
+                F.when(
+                    F.col("i") == 0,
+                    F.col("n") * (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("sp"))) - F.lit(1.0)),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn("cgn", F.col("n") * (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("sn")))))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        w_grads = j.select(
+            F.col("u").alias("id"),
+            F.zip_with(
+                F.transform("cc", lambda x: F.col("cp") * x),
+                F.transform("cn", lambda x: F.col("cgn") * x),
+                lambda a, b: a + b,
+            ).alias("g"),
+        )
+        c_grads = (
+            j.filter(F.col("i") == 0).select(
+                F.col("c").alias("id"),
+                F.transform("wu", lambda x: F.col("cp") * x).alias("g"),
+            )
+            .unionByName(
+                j.select(
+                    F.col("neg").alias("id"),
+                    F.transform("wu", lambda x: F.col("cgn") * x).alias("g"),
+                )
+            )
+        )
+        upd = lambda emb, gr: (
+            emb.join(_sg_scatter(gr).withColumnRenamed("id", "_gid"),
+                     emb["id"] == F.col("_gid"), "left")
+            .select(
+                emb["id"],
+                F.when(F.col("g").isNull(), emb["emb"])
+                .otherwise(F.zip_with(emb["emb"], F.col("g"),
+                                      lambda e, x: e - F.lit(step) * x))
+                .alias("emb"),
+            )
+        )
+        new_w = upd(w_emb, w_grads).localCheckpoint(eager=True)
+        new_c = upd(c_emb, c_grads).localCheckpoint(eager=True)
+        j.unpersist()
+        w_emb.unpersist()
+        c_emb.unpersist()
+        w_emb, c_emb = new_w, new_c
+    pr.unpersist()
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    return w_emb.select(
+        F.col("id").alias("vid"),
+        F.when(norm > 0, F.transform("emb", lambda x: x / norm))
+        .otherwise(F.col("emb"))
+        .alias("embedding"),
     )

@@ -152,6 +152,123 @@ def sssp(
     return _relax(graph, sources, weighted=True, max_iterations=max_iterations, edge_plan=edge_plan)
 
 
+def delta_stepping(
+    graph: ProjectedGraph,
+    sources,
+    delta: float | None = None,
+    max_buckets: int = 100_000,
+    edge_plan: EdgePlan | None = None,
+) -> PathResult:
+    """Delta-stepping SSSP (reference ``gds.allShortestPaths.delta``;
+    Meyer & Sanders 2003) as a REAL bucketed implementation — distinct
+    from :func:`sssp`'s plain label-correcting relax, which subsumes the
+    buckets at the cost of re-relaxations.
+
+    Buckets ``B_i = {v : ⌊dist_v/Δ⌋ = i}`` are processed in order; inside
+    bucket *i*, LIGHT edges (w ≤ Δ) relax to a fixpoint (a node whose
+    improved distance stays in bucket *i* re-enters the frontier), then
+    HEAVY edges (w > Δ) relax ONCE from everything the bucket settled.
+    Non-negative weights only (the bucket-ordering invariant requires it).
+
+    Spark shape: ONE shared :class:`EdgePlan` (hash-partitioned edge
+    cache) serves both phases — light/heavy selection is a masked message
+    expression (``when(w ≤ Δ, dist+w).otherwise(inf)``), the same trick
+    Yen's spur runs use, so no per-phase edge filter or re-partition.
+    The driver loop advances the bucket cursor with one scalar aggregate
+    per phase; state localCheckpoints per phase with the two-copy
+    unpersist bound. Default Δ = mean edge weight (each light phase then
+    clears ~half the outgoing relaxations; the reference's default is a
+    fixed 2.0 — pass ``delta=2.0`` for surface parity).
+
+    Identical distances to :func:`sssp` (tests pin this on goldens and
+    random weighted graphs); the win is ordering: each edge relaxes O(1)
+    times per bucket instead of once per improving wave, which matters
+    when the weight spread makes the plain relax re-touch hubs many
+    times.
+    """
+    neg = graph.edges.filter(F.col("weight") < 0).limit(1).count()
+    if neg:
+        raise ValueError("delta_stepping requires non-negative edge weights")
+    if delta is None:
+        row = graph.edges.agg(F.avg("weight").alias("d")).collect()[0]
+        delta = float(row["d"] or 1.0) or 1.0
+    if delta <= 0:
+        raise ValueError(f"delta must be positive, got {delta}")
+    plan = edge_plan or EdgePlan(graph.edges)
+    if isinstance(sources, DataFrame):
+        srcs = sources.select("vid")
+    else:
+        srcs = _source_vids(graph, sources)
+
+    state = (
+        graph.nodes.select("vid")
+        .join(srcs.withColumn("_s", F.lit(1)), "vid", "left")
+        .select(
+            "vid",
+            F.when(F.col("_s").isNotNull(), F.lit(0.0))
+            .otherwise(F.lit(_INF))
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # unreached rows (dist = inf) get a NULL bucket: floor(inf) has no
+    # long value (ANSI overflow), and NULL correctly drops them from both
+    # the cursor min-scan and the bucket-membership filters until a relax
+    # reaches them.
+    bucket = F.when(
+        F.col("dist") < _INF, F.floor(F.col("dist") / F.lit(delta))
+    )
+    light_m = F.when(F.col("weight") <= delta, F.col("dist") + F.col("weight")).otherwise(F.lit(_INF))
+    heavy_m = F.when(F.col("weight") > delta, F.col("dist") + F.col("weight")).otherwise(F.lit(_INF))
+
+    def relax(cur: DataFrame, frontier: DataFrame, m_expr) -> DataFrame:
+        msgs = plan.messages(frontier, {"m": m_expr}, {"m": F.min("m")})
+        better = F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist")))
+        return cur.join(msgs, "vid", "left").select(
+            "vid",
+            better.alias("dist"),
+            (better < F.col("dist")).cast("int").alias("changed"),
+        )
+
+    iterations = 0
+    metrics: list[dict] = []
+    cur_bucket = -1
+    for _ in range(max_buckets):
+        nxt = state.filter(bucket > cur_bucket).agg(
+            F.min(bucket).alias("b")
+        ).collect()[0]["b"]
+        if nxt is None:
+            break
+        i = int(nxt)
+        # light phase to fixpoint within bucket i
+        frontier = state.filter(bucket == i).select("vid", "dist")
+        while True:
+            iterations += 1
+            new_state = relax(state, frontier, light_m).localCheckpoint(eager=True)
+            frontier = new_state.filter(
+                (F.col("changed") == 1) & (bucket == i)
+            ).select("vid", "dist")
+            n_active = frontier.count()
+            state.unpersist()
+            state = new_state.drop("changed")
+            if n_active == 0:
+                break
+        # one heavy relax from everything bucket i settled
+        iterations += 1
+        settled = state.filter(bucket == i).select("vid", "dist")
+        new_state = relax(state, settled, heavy_m).localCheckpoint(eager=True)
+        state.unpersist()
+        state = new_state.drop("changed")
+        metrics.append({"bucket": i})
+        cur_bucket = i
+    if edge_plan is None:
+        plan.unpersist()
+    reached = state.filter(F.col("dist") != _INF).select(
+        "vid", F.col("dist").alias("distance")
+    )
+    return PathResult(distances=reached, iterations=iterations, metrics=metrics)
+
+
 @dataclass
 class BellmanFordResult:
     distances: DataFrame  # (vid, distance); -inf on/downstream of a neg cycle

@@ -179,6 +179,21 @@ class _SsspProc(_PathProc):
     _weighted = True
 
 
+class _DeltaSteppingProc(_Proc):
+    """``gds.allShortestPaths.delta`` — bucketed delta-stepping SSSP
+    (Meyer & Sanders); identical distances to ``sssp``, bucket-ordered
+    light/heavy relaxation."""
+
+    value_cols = ["distance"]
+
+    def _run(self, graph, sources=(), **config):
+        from graph_data_science_spark.algorithms.paths import delta_stepping
+
+        res = delta_stepping(graph, list(sources), **config)
+        return res.distances, {"ran_iterations": res.iterations,
+                               "buckets": len(res.metrics)}
+
+
 class _KCoreProc(_Proc):
     value_cols = ["core"]
 
@@ -749,6 +764,7 @@ class SparkGDS:
         self.degree = _DegreeProc(self)
         self.bfs = _PathProc(self)
         self.sssp = _SsspProc(self)
+        self.delta_stepping = _DeltaSteppingProc(self)
         self.k_core = _KCoreProc(self)
         self.article_rank = _ArticleRankProc(self)
         self.eigenvector = _EigenvectorProc(self)
@@ -789,6 +805,15 @@ class SparkGDS:
         from graph_data_science_spark.ml.kge import predict_kge
 
         return predict_kge(triples, node_embeddings, relation_embeddings, **kw)
+
+    def hdbscan(self, node_vectors: DataFrame, **kw):
+        """``gds.hdbscan``: density clustering of an (id, vec) table —
+        k-NN mutual-reachability graph → Borůvka MST → condensed-tree
+        excess-of-mass selection (or the fully-distributed DBSCAN* flat
+        cut via ``cut_distance``). Noise = cluster -1."""
+        from graph_data_science_spark.operators.hdbscan import hdbscan
+
+        return hdbscan(node_vectors, **kw)
 
     def kge_train(self, triples: DataFrame, model_name: str | None = None, **kw):
         """``gds.ml.kge`` training (Spark-native; upstream GDS routes this

@@ -25,6 +25,10 @@ __all__ = [
     "euclidean_sq",
     "hamming64",
     "log_normalize",
+    "jaccard",
+    "overlap",
+    "pearson",
+    "euclidean_distance",
 ]
 
 
@@ -78,3 +82,43 @@ def hamming64(a: Column, b: Column) -> Column:
 def log_normalize(col: Column) -> Column:
     """log(1+x) — the scaler GDS calls ``log`` (guarding x = 0)."""
     return F.log1p(col)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two array columns (reference function
+    ``gds.similarity.jaccard``): |a∩b| / |a∪b|, 0 when both empty.
+    Duplicates are collapsed (set semantics, matching the reference)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def overlap(a: Column, b: Column) -> Column:
+    """Overlap coefficient (``gds.similarity.overlap``):
+    |a∩b| / min(|a|, |b|), 0 when either side is empty."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    denom = F.least(
+        F.size(F.array_distinct(a)), F.size(F.array_distinct(b))
+    ).cast("double")
+    return F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
+
+
+def pearson(a: Column, b: Column) -> Column:
+    """Pearson correlation of two equal-length vectors
+    (``gds.similarity.pearson``), 0 when either side is constant.
+    Single-pass expression form: r = (n·Σxy − Σx·Σy) /
+    (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))."""
+    va, vb = as_double_array(a), as_double_array(b)
+    n = F.size(va).cast("double")
+    sx = F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x)
+    sy = F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x)
+    sxx = F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x * x)
+    syy = F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x * x)
+    sxy = dot(va, vb)
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when(den > 0, (n * sxy - sx * sy) / den).otherwise(F.lit(0.0))
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    """L2 distance (``gds.similarity.euclideanDistance``)."""
+    return F.sqrt(euclidean_sq(as_double_array(a), as_double_array(b)))

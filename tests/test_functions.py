@@ -44,3 +44,35 @@ def test_zero_vector_guards(spark):
 def test_hamming64(spark):
     df = spark.createDataFrame([(0b1011, 0b0001)], "x long, y long")
     assert df.select(X.hamming64(F.col("x"), F.col("y")).alias("h")).collect()[0]["h"] == 2
+
+
+def test_similarity_function_tier(spark):
+    # gds.similarity.jaccard / overlap / pearson / euclideanDistance
+    import numpy as np
+
+    a, b = [1.0, 2.0, 3.0, 4.0], [2.0, 2.0, 5.0, 1.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    row = df.select(
+        X.jaccard(F.col("a"), F.col("b")).alias("j"),
+        X.overlap(F.col("a"), F.col("b")).alias("o"),
+        X.pearson(F.col("a"), F.col("b")).alias("p"),
+        X.euclidean_distance(F.col("a"), F.col("b")).alias("e"),
+    ).collect()[0]
+    # sets: a={1,2,3,4}, b={1,2,5}: inter={1,2}, union={1,2,3,4,5}
+    assert abs(row["j"] - 2 / 5) < 1e-12
+    assert abs(row["o"] - 2 / 3) < 1e-12
+    assert abs(row["p"] - float(np.corrcoef(a, b)[0, 1])) < 1e-9
+    assert abs(row["e"] - float(np.linalg.norm(np.array(a) - np.array(b)))) < 1e-9
+
+
+def test_similarity_function_guards(spark):
+    df = spark.createDataFrame(
+        [([], [1.0], [3.0, 3.0], [1.0, 2.0])],
+        "empty array<double>, one array<double>, const array<double>, var array<double>",
+    )
+    row = df.select(
+        X.jaccard(F.col("empty"), F.col("empty")).alias("j0"),
+        X.overlap(F.col("empty"), F.col("one")).alias("o0"),
+        X.pearson(F.col("const"), F.col("var")).alias("p0"),
+    ).collect()[0]
+    assert row["j0"] == 0.0 and row["o0"] == 0.0 and row["p0"] == 0.0

@@ -1,0 +1,77 @@
+"""HDBSCAN (operators/hdbscan.py) — blob recovery, noise labeling, flat
+DBSCAN* cut mode, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graph_data_science_spark.operators.hdbscan import hdbscan
+
+
+def _blobs(spark):
+    """Two tight 10-point 2-D blobs far apart + 3 remote noise points."""
+    rng = np.random.RandomState(7)
+    pts = []
+    for i in range(10):
+        pts.append((i, [0.0 + rng.uniform(-0.5, 0.5), 0.0 + rng.uniform(-0.5, 0.5)]))
+    for i in range(10):
+        pts.append((100 + i, [50.0 + rng.uniform(-0.5, 0.5), 0.0 + rng.uniform(-0.5, 0.5)]))
+    pts += [(200, [25.0, 80.0]), (201, [-40.0, -70.0]), (202, [90.0, 60.0])]
+    return spark.createDataFrame(pts, "id long, vec array<double>")
+
+
+def test_hdbscan_blobs_eom(spark):
+    df = _blobs(spark)
+    res = hdbscan(df, min_cluster_size=4)
+    labels = {r["id"]: r["cluster"] for r in res.labels.collect()}
+    assert res.n_clusters == 2
+    blob1 = {labels[i] for i in range(10)}
+    blob2 = {labels[100 + i] for i in range(10)}
+    assert len(blob1) == 1 and len(blob2) == 1 and blob1 != blob2
+    assert -1 not in blob1 | blob2
+    for nid in (200, 201, 202):
+        assert labels[nid] == -1
+    assert res.noise_count == 3
+
+
+def test_hdbscan_flat_cut(spark):
+    df = _blobs(spark)
+    res = hdbscan(df, min_cluster_size=4, cut_distance=5.0)
+    labels = {r["id"]: r["cluster"] for r in res.labels.collect()}
+    assert res.n_clusters == 2
+    assert {labels[i] for i in range(10)} != {labels[100 + i] for i in range(10)}
+    for nid in (200, 201, 202):
+        assert labels[nid] == -1
+
+
+def test_hdbscan_line_triplets(spark):
+    # 0,1,2 at x≈0 and 3,4,5 at x≈100: mcs=3 → two clusters, no noise
+    pts = [(i, [float(i)]) for i in range(3)] + [
+        (3 + i, [100.0 + i]) for i in range(3)
+    ]
+    df = spark.createDataFrame(pts, "id long, vec array<double>")
+    res = hdbscan(df, min_cluster_size=3)
+    labels = {r["id"]: r["cluster"] for r in res.labels.collect()}
+    assert res.n_clusters == 2
+    assert len({labels[0], labels[1], labels[2]}) == 1
+    assert len({labels[3], labels[4], labels[5]}) == 1
+    assert labels[0] != labels[3]
+    assert res.noise_count == 0
+
+
+def test_hdbscan_no_structure_is_all_noise(spark):
+    # fewer points than min_cluster_size on each "side": root never
+    # selects itself → everything noise
+    pts = [(i, [float(i) * 10]) for i in range(4)]
+    df = spark.createDataFrame(pts, "id long, vec array<double>")
+    res = hdbscan(df, min_cluster_size=5)
+    assert res.n_clusters == 0
+    assert res.noise_count == 4
+
+
+def test_hdbscan_deterministic(spark):
+    df = _blobs(spark)
+    a = {r["id"]: r["cluster"] for r in hdbscan(df, min_cluster_size=4).labels.collect()}
+    b = {r["id"]: r["cluster"] for r in hdbscan(df, min_cluster_size=4).labels.collect()}
+    assert a == b

@@ -47,14 +47,14 @@ def run_at(cpus: int, n_convs: int, supersteps: int) -> dict:
         SPARK_GRAFT_BENCH_SUPERSTEPS=str(supersteps),
         SPARK_GRAFT_BENCH_SUITE="0",  # throughput section only
     )
-    # fused=4 is the production fixed-iteration default since the round-3
-    # recompute fix (pregel.py lazy localCheckpoint of fused links: each
-    # superstep computes exactly once even though the next step references
-    # its input twice) — bit-identical results, 4× fewer driver-serial
-    # scheduling barriers. Pre-fix, fused chains re-ran earlier supersteps
-    # ~2^k-fold (201 s vs ~75 s at 27M/local[8]); that note is retired.
+    # fused=1: the round-4 A/B (bench.py comment) measured fused=4 faster
+    # at local[8] but 20-30% slower at local[32] — the deep fused DAG
+    # holds 4 shuffle pipelines' buffers live in one heap. The production
+    # (high-parallelism) default is therefore 1; the round-3 recompute
+    # fix (pregel.py lazy localCheckpoint of fused links) remains in and
+    # parity-tested for deployments that opt in.
     # metrics-off removes the per-superstep convergence collect job.
-    env.setdefault("SPARK_GRAFT_BENCH_FUSED", "4")
+    env.setdefault("SPARK_GRAFT_BENCH_FUSED", "1")
     env.setdefault("SPARK_GRAFT_BENCH_METRICS", "0")
     # fresh-JVM repeats are the OUTER loop here; one timed run per process
     env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "1")
