@@ -108,9 +108,9 @@ input; {repeats} repeats per cell).
 
 Transcript-derived link graph (north_rule shape): `generate_transcripts`
 (seed 42, {n_convs:,} conversations) → `derive_edges` → `project` →
-PageRank, {supersteps} fixed supersteps (fused 4-per-job, convergence
-metrics off — production fixed-iteration settings; identical scores to
-the superstep-per-job plan, cross-checked in tests). Graph:
+PageRank, {supersteps} fixed supersteps (fused=1, convergence
+metrics off — production fixed-iteration settings per the round-4 fused
+A/B; see bench.py). Graph:
 {g['nodes']:,} nodes, {g['edges']:,} edges.
 
 ## Two-cluster-size scaling (N = 8 cores vs 4N = 32 cores)
