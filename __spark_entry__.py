@@ -1712,8 +1712,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     graph_generate, media ids) — not reproducible in DuckDB;
         # (b) is a driver-orchestrated point query whose oracle would
         #     need unbounded path enumeration (yens_k); or
-        # (c) has inherently sequential output order (dfs preorder).
-        # Every deterministic fixpoint algorithm now has a SQL twin.
+        # (c) has inherently sequential output order (dfs preorder); or
+        # (d) runs a dendrogram/tree walk with data-dependent tie-breaks
+        #     (hdbscan: MST edge order → condensed tree; the EOM logic is
+        #     pinned by pure-python goldens instead).
+        # node2vec_sgns is (a): its pair corpus is xxhash walks — the GD
+        # itself is pinned by an exact numpy twin (test_node2vec_sgns).
+        # Every deterministic fixpoint algorithm now has a SQL twin;
+        # kge_train's SQL twin even unrolls full training epochs.
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
