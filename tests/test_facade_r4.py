@@ -1,0 +1,60 @@
+"""Facade wiring for the round-4 surface: gds.delta_stepping (stream/
+stats modes), gds.hdbscan, gds.kge_train + model-catalog store."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from graph_data_science_spark import SparkGDS, project
+
+from tests import fixtures
+
+
+@pytest.fixture()
+def gds(spark, tmp_path):
+    return SparkGDS(spark, catalog_dir=str(tmp_path / "cat"),
+                    model_dir=str(tmp_path / "models"))
+
+
+def _graph(spark):
+    nodes = ["a", "b", "c", "d"]
+    edges = [("a", "b", 1.0), ("b", "c", 5.0), ("c", "d", 1.0), ("a", "c", 10.0)]
+    return project(
+        fixtures.to_df(spark, nodes, edges),
+        nodes=spark.createDataFrame([(n,) for n in nodes], "id string"),
+    )
+
+
+def test_delta_stepping_proc_modes(spark, gds):
+    g = _graph(spark)
+    out = gds.delta_stepping.stream(g, sources=["a"], delta=2.0)
+    got = {r["node_id"]: r["distance"] for r in out.collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 6.0, "d": 7.0}
+    st = gds.delta_stepping.stats(g, sources=["a"], delta=2.0)
+    assert st["buckets"] >= 1 and st["ran_iterations"] >= 1
+
+
+def test_hdbscan_facade(spark, gds):
+    pts = [(i, [float(i)]) for i in range(3)] + [(3 + i, [100.0 + i]) for i in range(3)]
+    df = spark.createDataFrame(pts, "id long, vec array<double>")
+    res = gds.hdbscan(df, min_cluster_size=3)
+    assert res.n_clusters == 2 and res.noise_count == 0
+
+
+def test_kge_train_facade_stores_model(spark, gds):
+    triples = spark.createDataFrame(
+        [(0, "r", 1), (1, "r", 2), (2, "s", 0), (0, "s", 2)],
+        "head long, rel string, tail long",
+    )
+    res = gds.kge_train(
+        triples, model_name="kge1", scoring="distmult",
+        embedding_dimension=4, epochs=2, negative_samples=1,
+    )
+    assert len(res.losses) == 2
+    models = {m["name"] for m in gds.model.list()}
+    assert "kge1" in models
+    meta, arts = gds.model.load("kge1")
+    assert meta["params"]["scoring"] == "distmult"
+    assert arts["node_embeddings"].count() == 3
+    assert arts["relation_embeddings"].count() == 2
