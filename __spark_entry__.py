@@ -1587,6 +1587,42 @@ def q_kge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return te.join(dm, ["head", "rel", "tail"])
 
 
+def q_kge_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RotatE KGE scoring (Sun 2019; beyond the reference's
+    TransE/DistMult pair — predict-only): entity vectors = 8 dims read
+    as 4 (re, im) pairs, relation vectors = 4 phase angles from the two
+    smallest vec_ids. Oracle: per-pair complex-rotation arithmetic over a
+    generate_series lateral join."""
+    from graph_data_science_spark.ml.kge import predict_kge
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").alias(
+            "embedding"
+        ),
+    )
+    rels = (
+        _embeddings(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(2)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("rel"),
+            F.expr(
+                "transform(slice(embedding, 1, 4), x -> cast(x as double))"
+            ).alias("embedding"),
+        )
+    )
+    heads = emb.select("id").orderBy("id").limit(50)
+    triples = heads.select(
+        F.col("id").alias("head"),
+        (F.col("id") % 2).alias("rel"),
+        (F.col("id") + 1).alias("tail"),
+    )
+    return predict_kge(triples, emb, rels, scoring="rotate").select(
+        "head", "rel", "tail", F.round("score", 6).alias("rotate")
+    )
+
+
 # KGE training config (shared with _kge_train_oracle — the SQL twin
 # unrolls exactly these epochs with the same hash init/negatives).
 KGE_TRAIN_DIM = 4
@@ -1703,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "articulation_points": q_articulation_points,
         "kge_predict": q_kge_predict,
+        "kge_rotate": q_kge_rotate,
         "kge_train": q_kge_train,
         # ---- rows-only (pinned by in-repo pytest oracles) ----
         # The boundary is principled, not lazy: every query below either
@@ -3518,6 +3555,35 @@ FROM kgj
 """
 
 
+_KGE_ROTATE_ORACLE = """
+WITH kgemb AS MATERIALIZED (
+    SELECT vec_id AS id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+)
+, kgrel AS (
+    SELECT (row_number() OVER (ORDER BY id)) - 1 AS rel, v[1:4] AS v
+    FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings ORDER BY id LIMIT 2)
+)
+, kgtrip AS (
+    SELECT id AS head, id % 2 AS rel, id + 1 AS tail
+    FROM (SELECT id FROM kgemb ORDER BY id LIMIT 50)
+)
+, kgj AS (
+    SELECT t.head, t.rel, t.tail, h.v AS hv, r.v AS rv, tt.v AS tv
+    FROM kgtrip t
+    JOIN kgemb h ON h.id = t.head
+    JOIN kgemb tt ON tt.id = t.tail
+    JOIN kgrel r ON r.rel = t.rel
+)
+SELECT head, rel, tail,
+       round(-sqrt(sum(
+           pow(hv[2*i+1]*cos(rv[i+1]) - hv[2*i+2]*sin(rv[i+1]) - tv[2*i+1], 2)
+         + pow(hv[2*i+1]*sin(rv[i+1]) + hv[2*i+2]*cos(rv[i+1]) - tv[2*i+2], 2)
+       )), 6) AS rotate
+FROM kgj, generate_series(0, 3) AS g(i)
+GROUP BY head, rel, tail
+"""
+
+
 def _kge_train_oracle() -> str:
     """Unrolled full-batch DistMult GD (ml/kge.py train_kge): the same
     integer hash mixes for init + negative corruption, epochs unrolled as
@@ -3924,6 +3990,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "bridges": _bridges_oracle(),
         "articulation_points": _articulation_oracle(),
         "kge_predict": _KGE_ORACLE,
+        "kge_rotate": _KGE_ROTATE_ORACLE,
         "kge_train": _kge_train_oracle(),
     }
     # the LSH scale path is threshold-matched to return the EXACT top-k,

@@ -9,6 +9,8 @@ relation-embedding tables with the two standard scoring functions:
 
 - ``transe``  : −‖h + r − t‖₂           (Bordes et al., NeurIPS 2013)
 - ``distmult``: Σ_d h_d · r_d · t_d     (Yang et al., ICLR 2015)
+- ``rotate``  : −‖h ∘ e^{iθ_r} − t‖₂    (Sun et al., ICLR 2019;
+  predict-only — entity dims are (re, im) pairs, relation dims phases)
 
 Spark plan: two broadcast-or-shuffle joins (triples ⋈ node emb ×2 ⋈ rel
 emb) and ONE pure-JVM column expression per score (``zip_with`` +
@@ -25,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-SCORINGS = ("transe", "distmult")
+SCORINGS = ("transe", "distmult", "rotate")
 
 
 def _transe(h: Column, r: Column, t: Column) -> Column:
@@ -43,6 +45,25 @@ def _distmult(h: Column, r: Column, t: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _rotate(h: Column, r: Column, t: Column) -> Column:
+    """RotatE (Sun et al., ICLR 2019): −‖h ∘ e^{iθ_r} − t‖₂ over paired
+    (re, im) entity dims; the relation vector holds d/2 phase angles.
+    Still a pure JVM expression — ``aggregate`` over the phase index with
+    1-based ``element_at`` picks on the entity arrays."""
+    def term(acc: Column, i: Column) -> Column:
+        re_ = F.element_at(h, i * 2 + 1)
+        im_ = F.element_at(h, i * 2 + 2)
+        tr = F.element_at(t, i * 2 + 1)
+        ti = F.element_at(t, i * 2 + 2)
+        th = F.element_at(r, i + 1)
+        dre = re_ * F.cos(th) - im_ * F.sin(th) - tr
+        dim_ = re_ * F.sin(th) + im_ * F.cos(th) - ti
+        return acc + dre * dre + dim_ * dim_
+
+    idx = F.sequence(F.lit(0), F.size(r) - 1)
+    return -F.sqrt(F.aggregate(idx, F.lit(0.0), term))
 
 
 def predict_kge(
@@ -68,7 +89,7 @@ def predict_kge(
         F.col(rel_col).alias("rel"), F.col(vec_col).alias("_r")
     )
     j = triples.join(he, "head").join(te, "tail").join(F.broadcast(re_), "rel")
-    fn = _transe if scoring == "transe" else _distmult
+    fn = {"transe": _transe, "distmult": _distmult, "rotate": _rotate}[scoring]
     return j.select(
         "head",
         "rel",
@@ -218,8 +239,11 @@ def train_kge(
     mixes to avoid 64-bit wrap (fine: that bound is per-distinct-entity,
     not per-row).
     """
-    if scoring not in SCORINGS:
-        raise ValueError(f"scoring must be one of {SCORINGS}, got {scoring!r}")
+    if scoring not in ("transe", "distmult"):
+        raise ValueError(
+            f"training supports 'transe' and 'distmult', got {scoring!r} "
+            "(rotate is predict-only)"
+        )
     from graph_data_science_spark.projection import assign_dense_ids
 
     d = embedding_dimension

@@ -159,3 +159,39 @@ def test_kge_train_deterministic(spark):
     a = {r["id"]: r["embedding"] for r in train_kge(tdf, **kw).node_embeddings.collect()}
     b = {r["id"]: r["embedding"] for r in train_kge(tdf, **kw).node_embeddings.collect()}
     assert a == b
+
+
+def test_rotate_scoring_numpy_parity(spark):
+    """RotatE predict: −‖h ∘ e^{iθ} − t‖ vs a numpy complex twin."""
+    from graph_data_science_spark.ml.kge import predict_kge
+
+    rng = np.random.RandomState(3)
+    d = 8
+    ents = {i: rng.uniform(-1, 1, d) for i in range(5)}
+    phases = {"r0": rng.uniform(-np.pi, np.pi, d // 2)}
+    ne = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in ents.items()], "id long, embedding array<double>"
+    )
+    re_ = spark.createDataFrame(
+        [(r, v.tolist()) for r, v in phases.items()], "rel string, embedding array<double>"
+    )
+    triples = spark.createDataFrame(
+        [(a, "r0", b) for a in range(5) for b in range(5) if a != b],
+        "head long, rel string, tail long",
+    )
+    got = {
+        (r["head"], r["tail"]): r["score"]
+        for r in predict_kge(triples, ne, re_, scoring="rotate").collect()
+    }
+    for (a, b), s in got.items():
+        h = ents[a][0::2] + 1j * ents[a][1::2]
+        t = ents[b][0::2] + 1j * ents[b][1::2]
+        rot = np.exp(1j * phases["r0"])
+        want = -np.linalg.norm(h * rot - t)
+        assert abs(s - want) < 1e-9
+
+
+def test_kge_train_rejects_rotate(spark):
+    tdf = spark.createDataFrame(TRIPLES, "head long, rel string, tail long")
+    with pytest.raises(ValueError, match="predict-only"):
+        train_kge(tdf, scoring="rotate")
