@@ -75,3 +75,23 @@ def test_hdbscan_deterministic(spark):
     a = {r["id"]: r["cluster"] for r in hdbscan(df, min_cluster_size=4).labels.collect()}
     b = {r["id"]: r["cluster"] for r in hdbscan(df, min_cluster_size=4).labels.collect()}
     assert a == b
+
+
+def test_hdbscan_knn_method_recovers_blobs(spark):
+    """The k-NN-blocked scale path: both blobs must still be recovered.
+    (Its documented distortion: noise points bridging two dense regions
+    can be absorbed into a cluster — so only the cluster structure is
+    asserted here, not the noise labels.)"""
+    df = _blobs(spark)
+    res = hdbscan(df, min_cluster_size=4, method="knn")
+    labels = {r["id"]: r["cluster"] for r in res.labels.collect()}
+    blob1 = {labels[i] for i in range(10)}
+    blob2 = {labels[100 + i] for i in range(10)}
+    assert len(blob1) == 1 and len(blob2) == 1 and blob1 != blob2
+    assert -1 not in blob1 | blob2
+
+
+def test_hdbscan_rejects_unknown_method(spark):
+    df = _blobs(spark)
+    with pytest.raises(ValueError, match="exact"):
+        hdbscan(df, method="bogus")
