@@ -853,6 +853,25 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``gds.knn.filtered``: source filter = vec_id % 3 == 0 (who gets
+    neighbor lists), target filter = vec_id % 2 == 0 (the candidate
+    pool), both applied BEFORE top-k ranking. Oracle: the knn SQL with
+    the two modular predicates pushed into the scored join."""
+    from graph_data_science_spark.algorithms.knn import knn_filtered
+
+    emb = _embeddings(spark, sf_dir)
+    srcs = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    tgts = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    out = knn_filtered(
+        emb, source_nodes=srcs, target_nodes=tgts,
+        k=KNN_K, id_col="vec_id", vec_col="embedding",
+    )
+    return out.select(
+        "node1", "node2", F.round("similarity", 6).alias("similarity")
+    )
+
+
 def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-1 coloring on the symmetrized derived graph. Oracle: unrolled
     synchronous Jones-Plassmann rounds in SQL (``_k1coloring_oracle`` —
@@ -1697,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn": q_knn,
+        "knn_filtered": q_knn_filtered,
         "knn_lsh": q_knn_lsh,
         "bfs": q_bfs,
         "sssp": q_sssp,
@@ -3958,6 +3978,21 @@ WITH scored AS (
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS similarity
     FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY node1 ORDER BY similarity DESC, node2 ASC
+    ) AS rn
+    FROM scored
+)
+SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
+""",
+        "knn_filtered": f"""
+WITH scored AS (
+    SELECT a.vec_id AS node1, b.vec_id AS node2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS similarity
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id % 3 = 0 AND b.vec_id % 2 = 0
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0
 ), ranked AS (
     SELECT *, row_number() OVER (
         PARTITION BY node1 ORDER BY similarity DESC, node2 ASC

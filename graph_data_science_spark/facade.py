@@ -556,6 +556,22 @@ class _KnnProc:
 
         return knn(node_vectors, **config)
 
+    def filtered(
+        self,
+        node_vectors: DataFrame,
+        source_nodes: DataFrame | None = None,
+        target_nodes: DataFrame | None = None,
+        **config,
+    ) -> DataFrame:
+        """``gds.knn.filtered``: source/target node-set filters pruned
+        into the candidate generation (not a post-filter)."""
+        from graph_data_science_spark.algorithms.knn import knn_filtered
+
+        return knn_filtered(
+            node_vectors, source_nodes=source_nodes,
+            target_nodes=target_nodes, **config,
+        )
+
 
 class _GraphOps:
     """``gds.graph.*`` catalog operations."""

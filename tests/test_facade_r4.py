@@ -58,3 +58,47 @@ def test_kge_train_facade_stores_model(spark, gds):
     assert meta["params"]["scoring"] == "distmult"
     assert arts["node_embeddings"].count() == 3
     assert arts["relation_embeddings"].count() == 2
+
+
+def test_knn_filtered(spark, gds):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    vecs = [(i, rng.uniform(-1, 1, 4).tolist()) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vid long, vec array<double>")
+    srcs = df.filter(F.col("vid") < 4).select("vid")
+    tgts = df.filter(F.col("vid") >= 6).select("vid")
+    out = gds.knn.filtered(df, source_nodes=srcs, target_nodes=tgts, k=3).collect()
+    n1 = {r["node1"] for r in out}
+    n2 = {r["node2"] for r in out}
+    assert n1 <= {0, 1, 2, 3}
+    assert n2 <= set(range(6, 12))
+    per = {}
+    for r in out:
+        per.setdefault(r["node1"], []).append(r)
+    for rows in per.values():
+        assert len(rows) <= 3
+    # parity with a brute-force filtered ranking
+    import itertools
+    M = {i: np.array(v) for i, v in vecs}
+    for s in range(4):
+        want = sorted(
+            ((float(M[s] @ M[t] / (np.linalg.norm(M[s]) * np.linalg.norm(M[t]))), t)
+             for t in range(6, 12)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        want = [(t, sim) for sim, t in want if sim >= 0][:3]
+        got = sorted(
+            ((r["node2"], r["similarity"]) for r in per.get(s, [])),
+            key=lambda x: -x[1],
+        )
+        assert [t for t, _ in got] == [t for t, _ in want]
+
+
+def test_knn_filtered_no_filters_delegates(spark, gds):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "vid long, vec array<double>"
+    )
+    a = {(r["node1"], r["node2"]) for r in gds.knn.filtered(df, k=2).collect()}
+    b = {(r["node1"], r["node2"]) for r in gds.knn.stream(df, k=2).collect()}
+    assert a == b
