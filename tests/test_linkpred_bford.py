@@ -447,8 +447,9 @@ class TestKgePredict:
         emb = spark.createDataFrame([(0, [1.0])], "id long, embedding array<double>")
         rels = spark.createDataFrame([(0, [1.0])], "rel long, embedding array<double>")
         tr = spark.createDataFrame([(0, 0, 0)], "head long, rel long, tail long")
+        # "rotate" became a real scoring in r4 — use a genuinely bogus name
         with _pytest.raises(ValueError):
-            predict_kge(tr, emb, rels, scoring="rotate")
+            predict_kge(tr, emb, rels, scoring="bogus")
 
 
 class TestFacade:

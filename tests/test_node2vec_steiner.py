@@ -74,7 +74,15 @@ class TestNode2Vec:
         r2 = node2vec(g, embedding_dimension=16, walks_per_node=3, walk_length=6)
         e1 = {r["vid"]: list(r["embedding"]) for r in r1.embeddings.collect()}
         e2 = {r["vid"]: list(r["embedding"]) for r in r2.embeddings.collect()}
-        assert e1 == e2
+        # deterministic up to float-addition order: the per-(u,dim) JL sums
+        # are unordered float adds, so repeated runs can differ in the last
+        # ULP (observed once under heavy host load) — pin allclose-tight,
+        # not bit-equality
+        import numpy as _np
+
+        assert e1.keys() == e2.keys()
+        for k in e1:
+            _np.testing.assert_allclose(e1[k], e2[k], rtol=0, atol=1e-12)
         for v in e1.values():
             n = sum(x * x for x in v)
             assert abs(n - 1.0) < 1e-9 or n == 0.0
