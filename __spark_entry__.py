@@ -1693,7 +1693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only — CORRECTNESS_r02 recorded exactly the first 50 of 56
     registered queries (insertion order), so if the driver's gate is
     bounded (count or wall-clock), the hard hash-checks land before the
-    weaker rows-only checks."""
+    weaker rows-only checks. Round 4: 82 queries (65 oracle-backed), one
+    projection memoized per (sf_dir, orientation) across the suite; the
+    full gate runs clean in ~8 min idle (ALL OK, 2026-08-19)."""
     return {
         # ---- oracle-backed (every key here has an oracle_sql() twin) ----
         "edge_derivation": q_edge_derivation,

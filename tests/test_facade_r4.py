@@ -79,7 +79,6 @@ def test_knn_filtered(spark, gds):
     for rows in per.values():
         assert len(rows) <= 3
     # parity with a brute-force filtered ranking
-    import itertools
     M = {i: np.array(v) for i, v in vecs}
     for s in range(4):
         want = sorted(
