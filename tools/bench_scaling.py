@@ -23,7 +23,12 @@ Methodology (round 3 — learned from BENCH/matrix.json):
   documented engine features, not bench-only hacks; override via
   SPARK_GRAFT_BENCH_FUSED / SPARK_GRAFT_BENCH_METRICS.
 
-Writes BENCH/BASELINE.md. Usage:
+APPEND-ONLY since round 5: this tool NEVER touches BENCH/BASELINE.md
+(a round-4 rerun once regenerated it and deleted the A/B + Amdahl +
+stability narrative sections — see round-4 VERDICT.md "What's wrong #1").
+It writes raw cells to a fresh dated BENCH/scaling_runs_<stamp>.json and
+appends one dated section to BENCH/RAW_RUNS.md; promoting cells into the
+narrative BASELINE.md is a deliberate manual edit. Usage:
     python tools/bench_scaling.py [n_convs] [pr_supersteps] [repeats]
 """
 
@@ -98,66 +103,39 @@ def main() -> None:
     g = b32["graph"]
     rows8 = ", ".join(f"{v}" for v in t8_all)
     rows32 = ", ".join(f"{v}" for v in t32_all)
-    md = f"""# BENCH — measured baseline & scaling evidence
+    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    md = f"""
+## Run {stamp} — {n_convs:,} convs, {supersteps} supersteps, {repeats}×2 cells (fused=1, metrics off)
 
-Generated {datetime.date.today().isoformat()} by `tools/bench_scaling.py`
-(fresh JVM per run, alternating parallelism, identical deterministic
-input; {repeats} repeats per cell).
-
-## Workload
-
-Transcript-derived link graph (north_rule shape): `generate_transcripts`
-(seed 42, {n_convs:,} conversations) → `derive_edges` → `project` →
-PageRank, {supersteps} fixed supersteps (fused=1, convergence
-metrics off — production fixed-iteration settings per the round-4 fused
-A/B; see bench.py). Graph:
-{g['nodes']:,} nodes, {g['edges']:,} edges.
-
-## Two-cluster-size scaling (N = 8 cores vs 4N = 32 cores)
+Graph: {g['nodes']:,} nodes, {g['edges']:,} edges.
 
 | parallelism | best wall (s) | median wall (s) | all repeats (s) | best edges/sec | best supersteps/sec |
 |---|---|---|---|---|---|
 | local[8]  | {t8} | {t8_med} | {rows8} | {b8['value']:,} | {b8['supersteps_per_sec']} |
 | local[32] | {t32} | {t32_med} | {rows32} | {b32['value']:,} | {b32['supersteps_per_sec']} |
 
-**Scaling efficiency (T_8 / T_32) / 4 = {eff:.3f} (best-of-{repeats});
-{eff_med:.3f} (medians)** — target ≥ 0.8 means speedup ≥ 3.2× from 4×
-cores; 1.0 is perfect linear.
-
-## Methodology / honesty notes
-
-- **Why best-of-N**: this sandbox exhibits 2-5× swings between IDENTICAL
-  cells minutes apart (BENCH/matrix.json: 46.4 s vs 128.2 s at
-  8g/local[32]; 61.4 s vs 145.9 s at 48g/local[8]; zero steal time, CPU
-  ~27% busy during slow phases — host-level interference). Contention
-  adds time, never removes it, so per-cell minimum estimates uncontended
-  capability; medians over {repeats} repeats are shown for transparency.
-- **Round-2 regression resolved**: the recorded 0.178 efficiency came
-  from single uncontrolled runs under the then-default 48g driver heap.
-  The round-3 heap × parallelism matrix (tools/bench_matrix.py) found no
-  reproducible heap effect — the collapse was sandbox noise — and the
-  session default is now clamped to 16g (session.py) to match the
-  per-executor-heap story.
-- A single-JVM `local[N]` scales shared-memory threads, not executors —
-  no network shuffle, one shared heap. It still exercises the
-  partition/shuffle structure (sort-merge exchanges, salted keys,
-  per-partition CSR blocks) that determines multi-executor scaling; the
-  real N vs 4N executor run goes through `spark-submit --py-files`
-  (see README packaging section) unchanged.
-
-## Raw bench JSON (best cells)
-
-```json
-{json.dumps(b8)}
-{json.dumps(b32)}
-```
+Efficiency (T_8 / T_32) / 4 = **{eff:.3f}** (best-of-{repeats}); {eff_med:.3f} (medians).
+Raw cells: `scaling_runs_{stamp}.json`.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    raw_md = os.path.join(REPO, "BENCH", "RAW_RUNS.md")
+    if not os.path.exists(raw_md):
+        with open(raw_md, "w") as f:
+            f.write(
+                "# BENCH raw scaling runs (append-only)\n\n"
+                "Each `tools/bench_scaling.py` invocation appends one dated\n"
+                "section here and writes its cells to a dated JSON. The\n"
+                "narrative evidence file `BENCH/BASELINE.md` is maintained by\n"
+                "hand; promote cells from here deliberately.\n"
+            )
+    with open(raw_md, "a") as f:
         f.write(md)
-    with open(os.path.join(REPO, "BENCH", "scaling_runs.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_runs_{stamp}.json"), "w") as f:
         json.dump({"cells": {str(k): v for k, v in cells.items()}}, f, indent=1)
-    print(f"efficiency best={eff:.3f} median={eff_med:.3f} → BENCH/BASELINE.md")
+    print(
+        f"efficiency best={eff:.3f} median={eff_med:.3f} → appended to "
+        f"BENCH/RAW_RUNS.md (BASELINE.md untouched)"
+    )
 
 
 if __name__ == "__main__":
