@@ -1412,6 +1412,51 @@ def q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-regression pipeline (reference
+    ``gds.alpha.pipeline.nodeRegression`` — round 5, the last pipeline
+    family): deterministic degree/id features [1, ln(1+out_deg),
+    (orig_id%16)/8], target = ln(1 + in_degree), linear head trained on
+    the vid-even half (exactly 5 GD steps, lr=0.1, tolerance disabled so
+    the SQL unroll depth is fixed), predict ALL nodes →
+    (node_id, predicted). Oracle: the trainer unrolled in SQL
+    (``_node_regression_oracle``); GD ≡ numpy twin also pinned in
+    tests/test_ml.py."""
+    from graph_data_science_spark.ml.nodereg import (
+        predict_node_regression,
+        train_node_regression,
+    )
+
+    g = _graph(spark, sf_dir)
+    feats = (
+        g.degrees("out")
+        .join(
+            g.degrees("in").select("vid", F.col("degree").alias("_ind")), "vid"
+        )
+        .join(g.nodes.select("vid", "orig_id"), "vid")
+        .select(
+            "vid",
+            F.array(
+                F.lit(1.0),
+                F.log1p("degree"),
+                ((F.col("orig_id") % 16) / 8.0).cast("double"),
+            ).alias("features"),
+            F.log1p("_ind").alias("target"),
+        )
+    )
+    model = train_node_regression(
+        feats.filter(F.col("vid") % 2 == 0),
+        learning_rate=0.1,
+        max_iterations=5,
+        tolerance=-1e9,  # never early-stop: the SQL twin unrolls exactly 5
+    )
+    pred = predict_node_regression(model, feats)
+    return pred.join(g.nodes, pred["id"] == g.nodes["vid"]).select(
+        F.col("orig_id").alias("node_id"),
+        F.round("predicted", 6).alias("predicted"),
+    )
+
+
 def q_graph_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random graph generation (reference ``gds.beta.graph.generate``,
     hash-deterministic, distributed): POWER_LAW graph (n=500, avg deg 4,
@@ -1689,65 +1734,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate: all ORACLE-BACKED queries first, then
-    rows-only — CORRECTNESS_r02 recorded exactly the first 50 of 56
-    registered queries (insertion order), so if the driver's gate is
-    bounded (count or wall-clock), the hard hash-checks land before the
-    weaker rows-only checks. Round 4: 82 queries (65 oracle-backed), one
-    projection memoized per (sf_dir, orientation) across the suite; the
-    full gate runs clean in ~8 min idle (ALL OK, 2026-08-19)."""
+    """Registry order is deliberate — ROTATED for round 5. The driver's
+    CORRECTNESS gate records exactly the first 50 entries in insertion
+    order (r1: 40, r2: 50, r4: 50 — always a registry prefix), so the
+    order decides which queries get a driver-recorded verification row.
+    Rounds 2–4 front-loaded the oracle-backed set; as a result registry
+    positions 51–82 (15 oracle-backed + all 17 rows-only) had never had a
+    driver row (round-4 VERDICT "Next round #2"). Round 5 rotates: the 32
+    never-driver-checked queries go FIRST (oracle-backed before
+    rows-only), then this round's new/changed oracle queries, then
+    long-green canaries (pagerank/wcc/triangle_count at ~48–50); the 30
+    queries pushed past position 50 all have green hash rows in
+    CORRECTNESS_r02/r04 and stay verifiable via tools/compare_oracle.py.
+    Round 4 recorded the full 82-query gate ALL OK in ~8 min idle
+    (2026-08-19); one projection is memoized per (sf_dir, orientation)
+    across the suite."""
     return {
-        # ---- oracle-backed (every key here has an oracle_sql() twin) ----
-        "edge_derivation": q_edge_derivation,
-        "event_transitions": q_event_transitions,
-        "degrees": q_degrees,
-        "top_k_degree": q_top_k_degree,
-        "triangle_count": q_triangle_count,
-        "wcc": q_wcc,
-        "scc": q_scc,
-        "pagerank": q_pagerank,
-        "pagerank_personalized": q_pagerank_personalized,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "quality_score": q_quality_score,
-        "language_id": q_language_id,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "embedding_topk": q_embedding_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "knn": q_knn,
-        "knn_filtered": q_knn_filtered,
-        "knn_lsh": q_knn_lsh,
-        "bfs": q_bfs,
-        "sssp": q_sssp,
-        "sssp_delta": q_sssp_delta,
-        "shortest_path_target": q_shortest_path_target,
-        "astar_path": q_astar_path,
-        "node_similarity": q_node_similarity,
-        "node_similarity_filtered": q_node_similarity_filtered,
-        "article_rank": q_article_rank,
-        "eigenvector": q_eigenvector,
-        "hits": q_hits,
-        "modularity": q_modularity,
-        "graph_filter": q_graph_filter,
-        "scale_properties": q_scale_properties,
-        "conductance": q_conductance,
-        "closeness": q_closeness,
-        "closeness_sampled": q_closeness_sampled,
-        "dag_levels": q_dag_levels,
-        "collapse_path": q_collapse_path,
-        "kcore": q_kcore,
-        "label_propagation": q_label_propagation,
-        "betweenness": q_betweenness,
-        "kmeans": q_kmeans,
-        "bellman_ford": q_bellman_ford,
-        "topology_linkpred": q_topology_linkpred,
-        "graphsage": q_graphsage,
-        "k1coloring": q_k1coloring,
-        "spanning_forest": q_spanning_forest,
-        "node_classification": q_node_classification,
+        # ---- never driver-checked before round 5: oracle-backed ----
         "link_prediction": q_link_prediction,
         "max_kcut": q_max_kcut,
         "modularity_optimization": q_modularity_optimization,
@@ -1763,8 +1766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kge_predict": q_kge_predict,
         "kge_rotate": q_kge_rotate,
         "kge_train": q_kge_train,
-        # ---- rows-only (pinned by in-repo pytest oracles) ----
-        # The boundary is principled, not lazy: every query below either
+        # ---- new in round 5 (oracle-backed) ----
+        "node_regression": q_node_regression,
+        # ---- never driver-checked before round 5: rows-only ----
+        # The rows-only boundary is principled, not lazy: each either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
         #     random_walk, rwr sampling, node2vec walks+training, sllpa
         #     speaker draws, hashgnn sketches, CELF live-edge worlds,
@@ -1777,8 +1782,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     pinned by pure-python goldens instead).
         # node2vec_sgns is (a): its pair corpus is xxhash walks — the GD
         # itself is pinned by an exact numpy twin (test_node2vec_sgns).
-        # Every deterministic fixpoint algorithm now has a SQL twin;
-        # kge_train's SQL twin even unrolls full training epochs.
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
@@ -1796,6 +1799,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfs": q_dfs,
         "graph_generate": q_graph_generate,
         "graphsage_train": q_graphsage_train,
+        # ---- oracle-backed, changed in round 5 (re-verify first) ----
+        "knn": q_knn,
+        "knn_filtered": q_knn_filtered,
+        "knn_lsh": q_knn_lsh,
+        # ---- canaries: long-green core queries kept inside the window --
+        "edge_derivation": q_edge_derivation,
+        "degrees": q_degrees,
+        "bfs": q_bfs,
+        "sssp": q_sssp,
+        "sssp_delta": q_sssp_delta,
+        "node_similarity": q_node_similarity,
+        "betweenness": q_betweenness,
+        "kmeans": q_kmeans,
+        "node_classification": q_node_classification,
+        "scc": q_scc,
+        "label_propagation": q_label_propagation,
+        "wcc": q_wcc,
+        "triangle_count": q_triangle_count,
+        "pagerank": q_pagerank,
+        # ---- position 51+: green hash rows in CORRECTNESS_r02/r04 ----
+        "graphsage": q_graphsage,
+        "event_transitions": q_event_transitions,
+        "top_k_degree": q_top_k_degree,
+        "pagerank_personalized": q_pagerank_personalized,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "shortest_path_target": q_shortest_path_target,
+        "astar_path": q_astar_path,
+        "node_similarity_filtered": q_node_similarity_filtered,
+        "article_rank": q_article_rank,
+        "eigenvector": q_eigenvector,
+        "hits": q_hits,
+        "modularity": q_modularity,
+        "graph_filter": q_graph_filter,
+        "scale_properties": q_scale_properties,
+        "conductance": q_conductance,
+        "closeness": q_closeness,
+        "closeness_sampled": q_closeness_sampled,
+        "dag_levels": q_dag_levels,
+        "collapse_path": q_collapse_path,
+        "kcore": q_kcore,
+        "bellman_ford": q_bellman_ford,
+        "topology_linkpred": q_topology_linkpred,
+        "k1coloring": q_k1coloring,
+        "spanning_forest": q_spanning_forest,
     }
 
 
@@ -2770,6 +2826,60 @@ SELECT node_id, cls::BIGINT AS predicted FROM (
 {scores}
     )
 ) WHERE rn = 1
+"""
+    )
+    return "".join(parts)
+
+
+def _node_regression_oracle(iters: int = 5, lr: float = 0.1) -> str:
+    """Node-regression twin: the linear-head trainer unrolled in SQL —
+    exact engine semantics (ml/nodereg.py, lr=0.1, zero init, early stop
+    disabled in ``q_node_regression``): per GD step t over the TRAINING
+    half (vid even; parity from row_number in node_id order),
+    err = (w·x + b) − ln(1+in_deg), w −= lr·avg(err·x), b −= lr·avg(err);
+    output = w·x + b for ALL nodes, rounded 6dp (float association noise
+    ~1e-13 after 5 steps cannot flip a 1e-6 rounding except on knife
+    edges, which the log/id features avoid)."""
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + """
+, nrdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+, nrind AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst)
+, nrfeat AS MATERIALIZED (
+    SELECT n.node_id,
+           1.0::DOUBLE AS x1,
+           ln(1 + coalesce(d.deg, 0))::DOUBLE AS x2,
+           ((n.node_id % 16) / 8.0)::DOUBLE AS x3,
+           ln(1 + coalesce(i.ind, 0))::DOUBLE AS y,
+           (row_number() OVER (ORDER BY n.node_id) - 1) % 2 AS par
+    FROM nodes n
+    LEFT JOIN nrdeg d ON d.src = n.node_id
+    LEFT JOIN nrind i ON i.dst = n.node_id
+)
+, nrtrain AS MATERIALIZED (SELECT * FROM nrfeat WHERE par = 0)
+, nrw0 AS (SELECT 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS b)
+"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""", nrw{t + 1} AS MATERIALIZED (
+    SELECT max(w1) - {lr} * avg(err * x1) AS w1,
+           max(w2) - {lr} * avg(err * x2) AS w2,
+           max(w3) - {lr} * avg(err * x3) AS w3,
+           max(b) - {lr} * avg(err) AS b
+    FROM (
+        SELECT t.x1, t.x2, t.x3, w.w1, w.w2, w.w3, w.b,
+               (w.w1 * t.x1 + w.w2 * t.x2 + w.w3 * t.x3 + w.b) - t.y AS err
+        FROM nrtrain t CROSS JOIN nrw{t} w
+    )
+)"""
+        )
+    parts.append(
+        f"""
+SELECT f.node_id,
+       round(w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.b, 6) AS predicted
+FROM nrfeat f CROSS JOIN nrw{iters} w
 """
     )
     return "".join(parts)
@@ -3974,34 +4084,38 @@ FROM edges a JOIN edges b ON a.dst = b.src
 WHERE a.src <> b.dst
 GROUP BY a.src, b.dst
 """,
+        # Both knn oracles rank on the UNROUNDED similarity (like the
+        # implementation, which ranks raw then rounds at projection);
+        # round() only in the final SELECT — ranking on rounded values
+        # can flip top-k membership for pairs within 1e-6.
         "knn": f"""
 WITH scored AS (
     SELECT a.vec_id AS node1, b.vec_id AS node2,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS similarity
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim_raw
     FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0
 ), ranked AS (
     SELECT *, row_number() OVER (
-        PARTITION BY node1 ORDER BY similarity DESC, node2 ASC
+        PARTITION BY node1 ORDER BY sim_raw DESC, node2 ASC
     ) AS rn
     FROM scored
 )
-SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
+SELECT node1, node2, round(sim_raw, 6) AS similarity FROM ranked WHERE rn <= {KNN_K}
 """,
         "knn_filtered": f"""
 WITH scored AS (
     SELECT a.vec_id AS node1, b.vec_id AS node2,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS similarity
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim_raw
     FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     WHERE a.vec_id % 3 = 0 AND b.vec_id % 2 = 0
       AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0
 ), ranked AS (
     SELECT *, row_number() OVER (
-        PARTITION BY node1 ORDER BY similarity DESC, node2 ASC
+        PARTITION BY node1 ORDER BY sim_raw DESC, node2 ASC
     ) AS rn
     FROM scored
 )
-SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
+SELECT node1, node2, round(sim_raw, 6) AS similarity FROM ranked WHERE rn <= {KNN_K}
 """,
         "hits": _hits_oracle(),
         "kcore": _kcore_oracle(),
@@ -4014,6 +4128,7 @@ SELECT node1, node2, similarity FROM ranked WHERE rn <= {KNN_K}
         "k1coloring": _k1coloring_oracle(),
         "spanning_forest": _spanning_forest_oracle(),
         "node_classification": _node_classification_oracle(),
+        "node_regression": _node_regression_oracle(),
         "link_prediction": _link_prediction_oracle(),
         "max_kcut": _max_kcut_oracle(),
         "modularity_optimization": _modularity_optimization_oracle(),

@@ -120,17 +120,48 @@ def knn_filtered(
         )
     if source_nodes is None and target_nodes is None:
         return knn(node_vectors, **kw)
-    # rebuild the exact pair generation over the filtered sides; the LSH
-    # method filters its candidate table the same way via knn() on the
-    # pruned union (sources ∪ targets) then a final semi-join pass
+    method = kw.get("method", "exact")
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
     vec_col = kw.get("vec_col", "vec")
-    a = src.select(F.col(id_col).alias("node1"), F.col(vec_col).alias("_va"))
-    b = tgt.select(F.col(id_col).alias("node2"), F.col(vec_col).alias("_vb"))
-    pairs = a.join(b, F.col("node1") != F.col("node2")).select(
-        "node1",
-        "node2",
-        cosine_similarity(F.col("_va"), F.col("_vb")).alias("similarity"),
-    )
+    if method == "lsh":
+        # scale path: bucket the two FILTERED sides with the same
+        # hyperplanes (same dim/seed ⇒ identical tables), join buckets
+        # source×target — the filters prune candidate GENERATION, exactly
+        # like knn()'s unfiltered LSH path, not a post-filter.
+        dim = len(node_vectors.select(vec_col).first()[0])
+        n_bits = kw.get("n_bits", 6)
+        n_tables = kw.get("n_tables", 8)
+        seed = kw.get("seed", 42)
+        sb = lsh_buckets(src, dim, n_bits, n_tables, seed, id_col, vec_col)
+        tb = lsh_buckets(tgt, dim, n_bits, n_tables, seed, id_col, vec_col)
+        cand = (
+            sb.select(F.col("id").alias("node1"), "table", "bucket")
+            .join(tb.select(F.col("id").alias("node2"), "table", "bucket"), ["table", "bucket"])
+            .filter(F.col("node1") != F.col("node2"))
+            .select("node1", "node2")
+            .dropDuplicates(["node1", "node2"])
+        )
+        uv = with_unit_vectors(node_vectors, vec_col).select(
+            F.col(id_col).alias("id"), "unit_vec"
+        )
+        pairs = (
+            cand.join(uv.select(F.col("id").alias("node1"), F.col("unit_vec").alias("_va")), "node1")
+            .join(uv.select(F.col("id").alias("node2"), F.col("unit_vec").alias("_vb")), "node2")
+            .select(
+                "node1",
+                "node2",
+                cosine_similarity(F.col("_va"), F.col("_vb")).alias("similarity"),
+            )
+        )
+    else:
+        a = src.select(F.col(id_col).alias("node1"), F.col(vec_col).alias("_va"))
+        b = tgt.select(F.col(id_col).alias("node2"), F.col(vec_col).alias("_vb"))
+        pairs = a.join(b, F.col("node1") != F.col("node2")).select(
+            "node1",
+            "node2",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("similarity"),
+        )
     pairs = pairs.filter(F.col("similarity") >= kw.get("similarity_cutoff", 0.0))
     w = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
     return (

@@ -107,6 +107,8 @@ def node2vec(
     (:func:`sgns_train`), for users expecting word2vec-parity vectors;
     ``epochs``/``learning_rate``/``negative_sampling_rate`` then carry
     their word2vec meanings (k = negative_sampling_rate negatives/pair)."""
+    if training not in ("sppmi", "sgd"):
+        raise ValueError(f"training must be 'sppmi' or 'sgd', got {training!r}")
     d = embedding_dimension
     res = node2vec_walks(
         graph,
@@ -160,9 +162,6 @@ def node2vec(
             metrics=[{"D": big_d, "dims": d, "training": "sgd",
                       "epochs": epochs}],
         )
-    if training != "sppmi":
-        raise ValueError(f"training must be 'sppmi' or 'sgd', got {training!r}")
-
     n_u = pairs.groupBy("u").agg(F.sum("n").alias("n_u"))
     n_c = pairs.groupBy("c").agg(F.sum("n").alias("n_c"))
     shift = float(max(negative_sampling_rate, 1))
@@ -300,7 +299,9 @@ def sgns_train(
     (tests/test_node2vec_sgns.py). Each epoch: join pairs against the two
     embedding tables, gradient vectors as zip_with/transform expressions,
     scatter via per-(vid, dim) sums, update with lr/Σn. Everything
-    shuffles on vids; the per-epoch loss is the only collect.
+    shuffles on vids; the only collect is the scalar Σn normalizer
+    (no per-epoch loss is materialized — unlike train_kge, which
+    tracks one).
     """
     d = embedding_dimension
     q = max(1, negative_samples)

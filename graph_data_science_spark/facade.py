@@ -755,6 +755,25 @@ class _NodeClassificationProc:
         return predict_node_classification(model, features, **config)
 
 
+class _NodeRegressionProc:
+    """``gds.alpha.pipeline.nodeRegression`` train/predict (round 5 —
+    the last missing pipeline family): a linear head over the same
+    feature machinery as node classification (ml/nodereg.py)."""
+
+    def __init__(self, gds: "SparkGDS") -> None:
+        self.gds = gds
+
+    def train(self, features: DataFrame, **config):
+        from graph_data_science_spark.ml.nodereg import train_node_regression
+
+        return train_node_regression(features, **config)
+
+    def predict(self, model, features: DataFrame, **config) -> DataFrame:
+        from graph_data_science_spark.ml.nodereg import predict_node_regression
+
+        return predict_node_regression(model, features, **config)
+
+
 class SparkGDS:
     def __init__(
         self,
@@ -804,6 +823,7 @@ class SparkGDS:
         self.steiner_tree = _SteinerProc(self)
         self.link_prediction = _LinkPredictionProc(self)
         self.node_classification = _NodeClassificationProc(self)
+        self.node_regression = _NodeRegressionProc(self)
         self.max_k_cut = _MaxKCutProc(self)
         self.graph_sage = _GraphSageProc(self)
         self.dfs = _DfsProc(self)

@@ -7,10 +7,14 @@ Spark-first decomposition — each stage is an operator this engine
 already runs at scale:
 
 1. **k-NN distance graph** (euclidean): exact all-pairs for the oracle
-   path; the scale path plugs any blocked candidate generator (the
-   hyperplane-LSH ANN of operators/similarity.py) in front — HDBSCAN
-   over a k-NN graph instead of the full distance matrix is the standard
-   large-scale approximation (McInnes' hdbscan library does the same).
+   path; the scale path (``method="ann"``, or an injected
+   ``candidate_pairs`` DataFrame) computes k-NN and core distances over
+   a BLOCKED candidate table — by default the p-stable euclidean LSH of
+   ``operators.similarity.euclidean_ann_pairs`` (Datar et al. 2004);
+   hyperplane/cosine LSH would ignore magnitudes, wrong for this metric.
+   HDBSCAN over a k-NN graph instead of the full distance matrix is the
+   standard large-scale approximation (McInnes' hdbscan library does the
+   same).
 2. **core distances**: the k-th smallest neighbor distance per point —
    one windowed rank over the k-NN edges.
 3. **mutual-reachability weights**: ``mr(a,b) = max(core_a, core_b,
@@ -47,16 +51,25 @@ class HdbscanResult:
 
 
 def _knn_distance_edges(
-    node_vectors: DataFrame, k: int, id_col: str, vec_col: str
+    node_vectors: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, d): per a, its k nearest others by euclidean distance
-    (ties → smaller id — deterministic). Exact all-pairs baseline; a
-    blocked ANN candidate table can replace the crossJoin at scale."""
+    (ties → smaller id — deterministic). Exact all-pairs baseline when
+    ``candidate_pairs`` is None; otherwise distances are computed ONLY
+    over the given (a, b) candidate table (blocked ANN scale path — the
+    plan has no nested-loop stage, only equality joins + one window)."""
     a = node_vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     b = node_vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    pairs = (
-        a.join(b, F.col("a") != F.col("b"))
-        .select("a", "b", F.sqrt(euclidean_sq(F.col("_va"), F.col("_vb"))).alias("d"))
+    if candidate_pairs is None:
+        joined = a.join(b, F.col("a") != F.col("b"))
+    else:
+        joined = candidate_pairs.select("a", "b").join(a, "a").join(b, "b")
+    pairs = joined.select(
+        "a", "b", F.sqrt(euclidean_sq(F.col("_va"), F.col("_vb"))).alias("d")
     )
     w = Window.partitionBy("a").orderBy(F.col("d").asc(), F.col("b").asc())
     return (
@@ -74,6 +87,12 @@ def hdbscan(
     vec_col: str = "vec",
     cut_distance: float | None = None,
     method: str = "exact",
+    candidate_pairs: DataFrame | None = None,
+    ann_bucket_width: float | None = None,
+    ann_n_projections: int = 2,
+    ann_n_tables: int = 6,
+    ann_n_buckets: int = 16,
+    seed: int = 42,
 ) -> HdbscanResult:
     """→ labels (id, cluster); ``cluster = -1`` is noise.
 
@@ -84,21 +103,50 @@ def hdbscan(
 
     ``method``: ``"exact"`` builds the FULL mutual-reachability graph
     (all pairs — same O(n²) cost class as the exact k-NN scan; the MST
-    prunes it to n−1 edges). ``"knn"`` restricts candidate edges to the
-    symmetrized k-NN graph — the standard large-scale approximation, with
-    a DOCUMENTED distortion: when two dense regions are only connected
-    through sparse points, the k-NN MST can route between clusters via a
-    noise point, pulling it into a cluster that the exact tree would
-    reject (observed on the two-blob golden in tests/test_hdbscan.py)."""
-    if method not in ("exact", "knn"):
-        raise ValueError(f"method must be 'exact' or 'knn', got {method!r}")
+    prunes it to n−1 edges). ``"knn"`` restricts candidate MST edges to
+    the symmetrized k-NN graph (computed from exact distances) — the
+    standard large-scale approximation, with a DOCUMENTED distortion:
+    when two dense regions are only connected through sparse points, the
+    k-NN MST can route between clusters via a noise point, pulling it
+    into a cluster that the exact tree would reject (observed on the
+    two-blob golden in tests/test_hdbscan.py). ``"ann"`` is the 100-TB
+    path: BOTH k-NN/core distances and MST candidates come from a
+    BLOCKED candidate-pair table — by default the p-stable euclidean LSH
+    of :func:`operators.similarity.euclidean_ann_pairs` (``ann_*``
+    params); no all-pairs join anywhere in the plan. ``candidate_pairs``
+    injects any precomputed symmetric (a, b) candidate DataFrame instead
+    (implies the blocked path regardless of ``method``), mirroring how
+    knn's ``method="lsh"`` plugs its bucket generator."""
+    if method not in ("exact", "knn", "ann"):
+        raise ValueError(
+            f"method must be 'exact', 'knn' or 'ann', got {method!r}"
+        )
     k = k_neighbors or min_cluster_size
     ids = node_vectors.select(F.col(id_col).alias("a")).distinct()
     n = ids.count()
     if n == 0:
         empty = node_vectors.sparkSession.createDataFrame([], "id long, cluster long")
         return HdbscanResult(labels=empty, n_clusters=0, noise_count=0)
-    knn_e = _knn_distance_edges(node_vectors, k, id_col, vec_col)
+    if method == "ann" and candidate_pairs is None:
+        from graph_data_science_spark.operators.similarity import (
+            euclidean_ann_pairs,
+        )
+
+        dim = len(node_vectors.select(vec_col).first()[0])
+        candidate_pairs = euclidean_ann_pairs(
+            node_vectors,
+            dim,
+            bucket_width=ann_bucket_width,
+            n_projections=ann_n_projections,
+            n_tables=ann_n_tables,
+            n_buckets=ann_n_buckets,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    if candidate_pairs is not None:
+        candidate_pairs = candidate_pairs.select("a", "b").persist()
+    knn_e = _knn_distance_edges(node_vectors, k, id_col, vec_col, candidate_pairs)
     # core distance = distance to the k-th nearest neighbor COUNTING THE
     # POINT ITSELF (reference semantics — sklearn/McInnes query the tree
     # with the point included, so core_k = the (k−1)-th other neighbor);
@@ -112,7 +160,7 @@ def hdbscan(
             .groupBy("a")
             .agg(F.max("d").alias("core"))
         )
-    if method == "exact":
+    if method == "exact" and candidate_pairs is None:
         a = node_vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
         b = node_vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
         cand = (
@@ -123,6 +171,9 @@ def hdbscan(
             )
         )
     else:
+        # knn / ann / injected candidates: MST candidates are the
+        # symmetrized k-NN edges (themselves blocked when a candidate
+        # table is in play)
         cand = knn_e.select("a", "b", "d").unionByName(
             knn_e.select(F.col("b").alias("a"), F.col("a").alias("b"), "d")
         )
@@ -189,8 +240,11 @@ def hdbscan(
         )
         nc = labels.filter(F.col("cluster") >= 0).select("cluster").distinct().count()
         noise = labels.filter(F.col("cluster") == -1).count()
+        if candidate_pairs is not None:
+            candidate_pairs.unpersist()
         return HdbscanResult(labels=labels, n_clusters=nc, noise_count=noise,
-                             metrics=[{"mode": "cut", "cut": cut_distance}])
+                             metrics=[{"mode": "cut", "cut": cut_distance,
+                                       "method": method}])
 
     # ---- condensed tree + excess-of-mass selection (driver-side, O(n)) --
     edges = [
@@ -205,8 +259,11 @@ def hdbscan(
     )
     nc = len({c for c in labels_py.values() if c >= 0})
     noise = sum(1 for c in labels_py.values() if c == -1)
+    if candidate_pairs is not None:
+        candidate_pairs.unpersist()
     return HdbscanResult(labels=labels, n_clusters=nc, noise_count=noise,
-                         metrics=[{"mode": "eom", "mst_edges": len(edges)}])
+                         metrics=[{"mode": "eom", "mst_edges": len(edges),
+                                   "method": method}])
 
 
 def _eom_labels(ids: list[int], mst: list[tuple], min_cluster_size: int) -> dict:
@@ -269,20 +326,32 @@ def _eom_labels(ids: list[int], mst: list[tuple], min_cluster_size: int) -> dict
     clusters: dict[int, dict] = {}
     cid_counter = [0]
 
-    def new_cluster(birth: float) -> int:
+    def new_cluster(birth: float, root: bool = False) -> int:
         cid_counter[0] += 1
         cid = cid_counter[0]
         clusters[cid] = {"points": {}, "birth": birth, "children": [],
-                         "death": birth}
+                         "death": birth, "root": root}
         return cid
 
     roots = {rep_node[find(i)] for i in ids}
+    # Disconnected MST forest (blocked ANN/knn candidates can leave
+    # isolated noise points or per-blob components): join the component
+    # roots under ONE virtual root at weight ∞ ⇒ split lambda 0 — exactly
+    # the hierarchy a complete mutual-reachability graph would give as
+    # the bridging distance → ∞. Each ≥min_cluster_size component then
+    # becomes a selectable child born at λ=0 instead of an unselectable
+    # root (roots never select themselves), and singletons fall out as
+    # noise at λ=0.
+    root_list = sorted(roots)
+    while len(root_list) > 1:
+        a = root_list.pop()
+        b = root_list.pop()
+        tree[next_node] = (a, b, float("inf"))
+        root_list.append(next_node)
+        next_node += 1
     result: dict[int, int] = {i: -1 for i in ids}
-    # process each dendrogram root (one per connected component)
     work: list[tuple] = []
-    for r in roots:
-        rc = new_cluster(0.0)
-        work.append((r, rc))
+    work.append((root_list[0], new_cluster(0.0, root=True)))
     while work:
         node, cid = work.pop()
         if node not in tree:
@@ -329,15 +398,20 @@ def _eom_labels(ids: list[int], mst: list[tuple], min_cluster_size: int) -> dict
         return out
 
     # EOM bottom-up: selected(C) = C if stab(C) > Σ selected-stab of
-    # children, else children's selection propagates
-    order = sorted(clusters, key=lambda c: clusters[c]["birth"], reverse=True)
+    # children, else children's selection propagates. Order by descending
+    # cluster id, not birth lambda: children always receive larger cids
+    # than their parent, so this is a true bottom-up traversal even when
+    # tied MST edge weights give a parent the same birth lambda as its
+    # children (equal-weight true splits are common on integer/grid data
+    # and used to KeyError here).
+    order = sorted(clusters, reverse=True)
     sel_stab: dict[int, float] = {}
     selected: dict[int, list[int]] = {}
     for cid in order:
         ch = clusters[cid]["children"]
         child_sum = sum(sel_stab[c] for c in ch)
         own = stability(cid)
-        is_root = clusters[cid]["birth"] == 0.0
+        is_root = clusters[cid]["root"]
         if ch and (child_sum >= own or is_root):
             # keep children's selection (roots never select themselves:
             # the reference never returns the all-points cluster)
@@ -351,7 +425,7 @@ def _eom_labels(ids: list[int], mst: list[tuple], min_cluster_size: int) -> dict
             sel_stab[cid] = own
             selected[cid] = [cid]
     final: list[int] = []
-    for r in {c for c in clusters if clusters[c]["birth"] == 0.0}:
+    for r in {c for c in clusters if clusters[c]["root"]}:
         final.extend(selected[r])
     for out_label, cid in enumerate(sorted(final)):
         for p in all_points(cid):

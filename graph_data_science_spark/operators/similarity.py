@@ -115,6 +115,103 @@ def lsh_buckets(
     )
 
 
+def euclidean_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    bucket_width: float | None = None,
+    n_projections: int = 2,
+    n_tables: int = 6,
+    n_buckets: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) — p-stable LSH for EUCLIDEAN distance (Datar,
+    Immorlica, Indyk & Mirrokni 2004): per table, the key concatenates
+    ``n_projections`` quantized Gaussian projections
+    ``floor(<v, a_i> / w)``; nearby points (≪ w) collide with high
+    probability. Unlike :func:`lsh_buckets` (sign-hyperplane, cosine),
+    this respects magnitudes — the right blocker for euclidean consumers
+    (HDBSCAN's mutual-reachability graph).
+
+    ``bucket_width=None`` picks w per (table, projection) as
+    (max−min)/``n_buckets`` of that projection — one distributed
+    aggregate, deterministic, and scale-free w.r.t. the data's units."""
+    rng = random.Random(seed * 2 + 1)
+    planes = [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_projections)]
+        for _ in range(n_tables)
+    ]
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+    proj_cols = {
+        f"_p_{t}_{i}": _dot(F.col("_v"), F.array(*[F.lit(x) for x in planes[t][i]]))
+        for t in range(n_tables)
+        for i in range(n_projections)
+    }
+    p = v.select("id", *[c.alias(n) for n, c in proj_cols.items()])
+    if bucket_width is None:
+        # per-projection width from the global span: one scalar aggregate
+        stats = p.agg(
+            *[F.max(n).alias(f"mx{n}") for n in proj_cols],
+            *[F.min(n).alias(f"mn{n}") for n in proj_cols],
+        ).collect()[0]
+        widths = {
+            n: max((stats[f"mx{n}"] - stats[f"mn{n}"]) / float(n_buckets), 1e-12)
+            for n in proj_cols
+        }
+    else:
+        widths = {n: float(bucket_width) for n in proj_cols}
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.xxhash64(
+                    F.lit(t),
+                    *[
+                        F.floor(F.col(f"_p_{t}_{i}") / F.lit(widths[f"_p_{t}_{i}"]))
+                        for i in range(n_projections)
+                    ],
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return p.select("id", F.explode(tables).alias("tb")).select(
+        "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def euclidean_ann_pairs(
+    df: DataFrame,
+    dim: int,
+    bucket_width: float | None = None,
+    n_projections: int = 2,
+    n_tables: int = 6,
+    n_buckets: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked euclidean candidate pairs (a, b), a ≠ b, symmetric (both
+    directions present): points sharing a p-stable bucket in ≥1 table.
+    Pure equality joins — no all-pairs / nested-loop stage anywhere in
+    the plan; expected cost follows bucket occupancy, not N². Feed to
+    ``hdbscan(candidate_pairs=...)`` or any euclidean k-NN consumer."""
+    bk = euclidean_lsh_buckets(
+        df, dim, bucket_width, n_projections, n_tables, n_buckets, seed,
+        id_col, vec_col,
+    )
+    return (
+        bk.select(F.col("id").alias("a"), "table", "bucket")
+        .join(bk.select(F.col("id").alias("b"), "table", "bucket"),
+              ["table", "bucket"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def cosine_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

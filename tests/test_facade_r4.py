@@ -94,6 +94,35 @@ def test_knn_filtered(spark, gds):
         assert [t for t, _ in got] == [t for t, _ in want]
 
 
+def test_knn_filtered_lsh_path(spark, gds):
+    """method='lsh' on the filtered variant (round-5: previously it was
+    silently ignored): with enough tables the blocked candidates recover
+    the exact filtered top-k, and the filters still bound both sides."""
+    import numpy as np
+
+    from graph_data_science_spark.algorithms.knn import knn_filtered
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.uniform(-1, 1, 4).tolist()) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vid long, vec array<double>")
+    srcs = df.filter(F.col("vid") < 4).select("vid")
+    tgts = df.filter(F.col("vid") >= 6).select("vid")
+    exact = knn_filtered(df, source_nodes=srcs, target_nodes=tgts, k=3)
+    approx = knn_filtered(
+        df, source_nodes=srcs, target_nodes=tgts, k=3,
+        method="lsh", n_bits=2, n_tables=16,
+    )
+    ex = {(r["node1"], r["node2"]) for r in exact.collect()}
+    ap = {(r["node1"], r["node2"]) for r in approx.collect()}
+    assert {n for n, _ in ap} <= {0, 1, 2, 3}
+    assert {n for _, n in ap} <= set(range(6, 12))
+    # 16 tables of 2 bits on 12 points: recall should be total here
+    assert ap == ex
+
+    with pytest.raises(ValueError, match="lsh"):
+        knn_filtered(df, source_nodes=srcs, method="bogus")
+
+
 def test_knn_filtered_no_filters_delegates(spark, gds):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(5)], "vid long, vec array<double>"

@@ -91,7 +91,70 @@ def test_hdbscan_knn_method_recovers_blobs(spark):
     assert -1 not in blob1 | blob2
 
 
+def test_hdbscan_tied_split_weights(spark):
+    """Regression: three 5-point 1-D groups whose two joining MST edges
+    have IDENTICAL weight — the parent cluster is born at the same lambda
+    as its children (two equal-weight true splits). EOM selection used to
+    order by birth lambda and KeyError on the child lookup; ordering is
+    by descending cluster id now (children always have larger ids)."""
+    pts = []
+    for g, base in enumerate((0.0, 10.0, 20.0)):
+        for i in range(5):
+            pts.append((g * 10 + i, [base + 0.1 * i]))
+    df = spark.createDataFrame(pts, "id long, vec array<double>")
+    res = hdbscan(df, min_cluster_size=5)
+    labels = {r["id"]: r["cluster"] for r in res.labels.collect()}
+    assert res.n_clusters == 3
+    groups = [{labels[g * 10 + i] for i in range(5)} for g in range(3)]
+    assert all(len(s) == 1 for s in groups)
+    assert len({next(iter(s)) for s in groups}) == 3
+    assert -1 not in set().union(*groups)
+
+
 def test_hdbscan_rejects_unknown_method(spark):
     df = _blobs(spark)
     with pytest.raises(ValueError, match="exact"):
         hdbscan(df, method="bogus")
+
+
+def test_hdbscan_ann_method_recovers_blobs(spark):
+    """method='ann' (round-5: the blocked candidate path the module
+    docstring promised): p-stable euclidean LSH candidates recover the
+    blob golden, and the candidate plan is equality-join-only — no
+    nested-loop/cartesian stage, with bounded candidate counts."""
+    from graph_data_science_spark.operators.similarity import (
+        euclidean_ann_pairs,
+    )
+
+    df = _blobs(spark)
+    cand = euclidean_ann_pairs(df, dim=2, id_col="id", vec_col="vec")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    n_cand = cand.count()
+    # 23 points → 506 ordered all-pairs; blocking must prune the far
+    # blob-to-blob pairs (bucket width ≈ span/16 ≈ 8 ≪ 50 separation)
+    assert n_cand < 506
+    res = hdbscan(df, min_cluster_size=4, method="ann")
+    assert res.metrics[0]["method"] == "ann"
+    labels = {r["id"]: r["cluster"] for r in res.labels.collect()}
+    blob1 = {labels[i] for i in range(10)}
+    blob2 = {labels[100 + i] for i in range(10)}
+    assert len(blob1) == 1 and len(blob2) == 1 and blob1 != blob2
+    assert -1 not in blob1 | blob2
+
+
+def test_hdbscan_injected_candidate_pairs(spark):
+    """candidate_pairs= injection: the blocked path accepts ANY
+    precomputed symmetric candidate table; with the full pair set it
+    reproduces the knn-method labels exactly."""
+    import pyspark.sql.functions as F
+
+    df = _blobs(spark)
+    a = df.select(F.col("id").alias("a"))
+    b = df.select(F.col("id").alias("b"))
+    full = a.crossJoin(b).filter(F.col("a") != F.col("b"))
+    got = hdbscan(df, min_cluster_size=4, candidate_pairs=full)
+    want = hdbscan(df, min_cluster_size=4, method="knn")
+    g = {r["id"]: r["cluster"] for r in got.labels.collect()}
+    w = {r["id"]: r["cluster"] for r in want.labels.collect()}
+    assert g == w

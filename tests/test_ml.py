@@ -55,6 +55,71 @@ class TestLogReg:
         assert losses[-1] < losses[0]
 
 
+class TestNodeRegression:
+    def test_linear_gd_matches_numpy(self, spark):
+        from graph_data_science_spark.ml.nodereg import train_linear_regression
+
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(70, 3))
+        w_true = np.array([1.5, -0.7, 0.2])
+        y = X @ w_true + 0.4 + rng.normal(scale=0.05, size=70)
+        df = spark.createDataFrame(
+            [([float(v) for v in x], float(t)) for x, t in zip(X, y)],
+            "features array<double>, target double",
+        )
+        model = train_linear_regression(
+            df, learning_rate=0.2, max_iterations=25, tolerance=-1.0
+        )
+        w = np.zeros(3)
+        b = 0.0
+        for _ in range(25):
+            err = X @ w + b - y
+            w = w - 0.2 * (X.T @ err) / len(y)
+            b = b - 0.2 * err.mean()
+        assert np.allclose(model.weights, w, atol=1e-9)
+        assert abs(model.bias - b) < 1e-9
+        losses = [m["loss"] for m in model.metrics]
+        assert losses[-1] < losses[0]
+
+    def test_pipeline_recovers_linear_target(self, spark):
+        from graph_data_science_spark.ml.nodereg import (
+            predict_node_regression,
+            train_node_regression,
+        )
+
+        rng = np.random.default_rng(12)
+        rows = []
+        for i in range(100):
+            x = rng.normal(size=2)
+            rows.append((i, [1.0, float(x[0]), float(x[1])],
+                         3.0 + 2.0 * float(x[0]) - 1.0 * float(x[1])))
+        df = spark.createDataFrame(rows, "vid long, features array<double>, target double")
+        model = train_node_regression(
+            df, learning_rate=0.3, max_iterations=200, tolerance=1e-12
+        )
+        assert model.train_metrics["train_rmse"] < 0.05
+        pred = {r["id"]: r["predicted"]
+                for r in predict_node_regression(model, df).collect()}
+        want = {r[0]: r[2] for r in rows}
+        err = max(abs(pred[i] - want[i]) for i in want)
+        assert err < 0.2
+
+    def test_facade_wiring(self, spark, tmp_path):
+        from graph_data_science_spark import SparkGDS
+
+        gds = SparkGDS(spark)
+        df = spark.createDataFrame(
+            [(i, [1.0, float(i)], 2.0 * i + 1.0) for i in range(20)],
+            "vid long, features array<double>, target double",
+        )
+        m = gds.node_regression.train(
+            df, learning_rate=0.01, max_iterations=50
+        )
+        out = gds.node_regression.predict(m, df)
+        assert out.columns == ["id", "predicted"]
+        assert out.count() == 20
+
+
 class TestLinkPrediction:
     def test_separable_graph_scores_edges_higher(self, spark):
         from graph_data_science_spark.ml.linkpred import (
