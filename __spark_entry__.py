@@ -1457,6 +1457,49 @@ def q_node_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mlp_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hidden-layer MLP classifier (reference pipelines' second
+    model family, ``model="mlp"`` — round 5): same deterministic
+    degree/id features as node_classification, binary target
+    (orig_id % 3 == 0), H=2 hidden relu units, seeded Glorot init,
+    exactly 3 full-batch GD steps (tolerance disabled), predict ALL
+    nodes → (node_id, probability). Oracle: the ENTIRE trainer —
+    forward, relu backprop, every one of the 11 parameter updates —
+    unrolled in SQL with the same seed-42 init literals
+    (``_mlp_classifier_oracle``); GD ≡ numpy twin also pinned in
+    tests/test_ml.py. Association noise (~1e-15 on parameter sums) can
+    only flip a relu indicator on an exact z=0 knife edge, which the
+    log/id features avoid."""
+    from graph_data_science_spark.ml.mlp import train_mlp_classifier
+
+    g = _graph(spark, sf_dir)
+    feats = (
+        g.degrees("out")
+        .join(g.nodes.select("vid", "orig_id"), "vid")
+        .select(
+            "vid",
+            F.array(
+                F.lit(1.0),
+                F.log1p("degree"),
+                ((F.col("orig_id") % 16) / 8.0).cast("double"),
+            ).alias("features"),
+            (F.col("orig_id") % 3 == 0).cast("double").alias("label"),
+        )
+    )
+    model = train_mlp_classifier(
+        feats.filter(F.col("vid") % 2 == 0),
+        hidden_units=2,
+        learning_rate=0.5,
+        max_iterations=3,
+        tolerance=-1e9,  # never early-stop: the SQL twin unrolls exactly 3
+        seed=42,
+    )
+    return feats.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"),
+        F.round(model.score_expr(F.col("features")), 6).alias("probability"),
+    )
+
+
 def q_graph_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random graph generation (reference ``gds.beta.graph.generate``,
     hash-deterministic, distributed): POWER_LAW graph (n=500, avg deg 4,
@@ -1768,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kge_train": q_kge_train,
         # ---- new in round 5 (oracle-backed) ----
         "node_regression": q_node_regression,
+        "mlp_classifier": q_mlp_classifier,
         # ---- never driver-checked before round 5: rows-only ----
         # The rows-only boundary is principled, not lazy: each either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -1808,7 +1852,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "bfs": q_bfs,
         "sssp": q_sssp,
-        "sssp_delta": q_sssp_delta,
         "node_similarity": q_node_similarity,
         "betweenness": q_betweenness,
         "kmeans": q_kmeans,
@@ -1819,6 +1862,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "pagerank": q_pagerank,
         # ---- position 51+: green hash rows in CORRECTNESS_r02/r04 ----
+        # (sssp_delta moved here in r5 to make window room for
+        # mlp_classifier: it shares sssp's oracle verbatim and sssp
+        # stays a canary, so the delta-stepping kernel is still
+        # window-covered transitively)
+        "sssp_delta": q_sssp_delta,
         "graphsage": q_graphsage,
         "event_transitions": q_event_transitions,
         "top_k_degree": q_top_k_degree,
@@ -2880,6 +2928,90 @@ def _node_regression_oracle(iters: int = 5, lr: float = 0.1) -> str:
 SELECT f.node_id,
        round(w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.b, 6) AS predicted
 FROM nrfeat f CROSS JOIN nrw{iters} w
+"""
+    )
+    return "".join(parts)
+
+
+def _mlp_classifier_oracle(iters: int = 3, lr: float = 0.5) -> str:
+    """MLP twin: the ENTIRE one-hidden-layer trainer (ml/mlp.py, H=2,
+    seed-42 Glorot init baked in as literals via the same
+    ``init_mlp_params`` the engine calls) unrolled in SQL — per GD step,
+    nested layers compute z=relu pre-activations in Spark's exact fold
+    order ((b + x1·w1) + x2·w2) + x3·w3, h=greatest(z,0), p=σ, err, the
+    relu-gated deltas, then one scalar CTE updates all 11 parameters via
+    avg() over the training half (vid even ≡ row_number parity in
+    node_id order). Output = σ forward for ALL nodes, rounded 6dp."""
+    from graph_data_science_spark.ml.mlp import init_mlp_params
+
+    w1, b1, w2, b2 = init_mlp_params(3, 2, seed=42)
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + """
+, mdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+, mfeat AS MATERIALIZED (
+    SELECT n.node_id,
+           1.0::DOUBLE AS x1,
+           ln(1 + coalesce(d.deg, 0))::DOUBLE AS x2,
+           ((n.node_id % 16) / 8.0)::DOUBLE AS x3,
+           (CASE WHEN n.node_id % 3 = 0 THEN 1.0 ELSE 0.0 END)::DOUBLE AS y,
+           (row_number() OVER (ORDER BY n.node_id) - 1) % 2 AS par
+    FROM nodes n LEFT JOIN mdeg d ON d.src = n.node_id
+)
+, mtrain AS MATERIALIZED (SELECT * FROM mfeat WHERE par = 0)
+"""
+        + f""", mw0 AS (SELECT {w1[0][0]!r}::DOUBLE AS w11, {w1[0][1]!r}::DOUBLE AS w12, {w1[0][2]!r}::DOUBLE AS w13,
+                   {w1[1][0]!r}::DOUBLE AS w21, {w1[1][1]!r}::DOUBLE AS w22, {w1[1][2]!r}::DOUBLE AS w23,
+                   {b1[0]!r}::DOUBLE AS c1, {b1[1]!r}::DOUBLE AS c2,
+                   {w2[0]!r}::DOUBLE AS v1, {w2[1]!r}::DOUBLE AS v2, {b2!r}::DOUBLE AS bo)
+"""
+    ]
+    fwd = """
+          SELECT z.*, greatest(z1, 0.0) AS h1, greatest(z2, 0.0) AS h2
+          FROM (
+            SELECT t.x1, t.x2, t.x3, t.y,
+                   w.w11, w.w12, w.w13, w.w21, w.w22, w.w23,
+                   w.c1, w.c2, w.v1, w.v2, w.bo,
+                   (((w.c1 + t.x1 * w.w11) + t.x2 * w.w12) + t.x3 * w.w13) AS z1,
+                   (((w.c2 + t.x1 * w.w21) + t.x2 * w.w22) + t.x3 * w.w23) AS z2
+            FROM mtrain t CROSS JOIN mw{t} w
+          ) z"""
+    for t in range(iters):
+        parts.append(
+            f""", mw{t + 1} AS MATERIALIZED (
+    SELECT max(w11) - {lr} * avg(d1 * x1) AS w11,
+           max(w12) - {lr} * avg(d1 * x2) AS w12,
+           max(w13) - {lr} * avg(d1 * x3) AS w13,
+           max(w21) - {lr} * avg(d2 * x1) AS w21,
+           max(w22) - {lr} * avg(d2 * x2) AS w22,
+           max(w23) - {lr} * avg(d2 * x3) AS w23,
+           max(c1) - {lr} * avg(d1) AS c1,
+           max(c2) - {lr} * avg(d2) AS c2,
+           max(v1) - {lr} * avg(h1 * err) AS v1,
+           max(v2) - {lr} * avg(h2 * err) AS v2,
+           max(bo) - {lr} * avg(err) AS bo
+    FROM (
+        SELECT q.*,
+               CASE WHEN z1 > 0 THEN v1 * err ELSE 0.0 END AS d1,
+               CASE WHEN z2 > 0 THEN v2 * err ELSE 0.0 END AS d2
+        FROM (
+            SELECT p.*, (prob - y) AS err
+            FROM (
+                SELECT h.*, 1.0 / (1.0 + exp(-((h.bo + h.h1 * h.v1) + h.h2 * h.v2))) AS prob
+                FROM ({fwd.format(t=t)}
+                ) h
+            ) p
+        ) q
+    )
+)"""
+        )
+    parts.append(
+        f"""
+SELECT f.node_id,
+       round(1.0 / (1.0 + exp(-((w.bo + greatest((((w.c1 + f.x1 * w.w11) + f.x2 * w.w12) + f.x3 * w.w13), 0.0) * w.v1)
+                                + greatest((((w.c2 + f.x1 * w.w21) + f.x2 * w.w22) + f.x3 * w.w23), 0.0) * w.v2))), 6) AS probability
+FROM mfeat f CROSS JOIN mw{iters} w
 """
     )
     return "".join(parts)
@@ -4129,6 +4261,7 @@ SELECT node1, node2, round(sim_raw, 6) AS similarity FROM ranked WHERE rn <= {KN
         "spanning_forest": _spanning_forest_oracle(),
         "node_classification": _node_classification_oracle(),
         "node_regression": _node_regression_oracle(),
+        "mlp_classifier": _mlp_classifier_oracle(),
         "link_prediction": _link_prediction_oracle(),
         "max_kcut": _max_kcut_oracle(),
         "modularity_optimization": _modularity_optimization_oracle(),

@@ -97,11 +97,20 @@ def train_link_prediction(
     negative_ratio: float = 1.0,
     seed: int = 42,
     negatives: DataFrame | None = None,
+    model: str = "lr",
     **lr_config,
 ) -> LinkPredictionModel:
     """``negatives``: optional explicit (src, dst) non-edge pairs (the
     reference analogue of configured negative sampling); default = the
-    hash-deterministic sampler ``_negative_pairs``."""
+    hash-deterministic sampler ``_negative_pairs``.
+
+    ``model``: ``"lr"`` (logistic regression, default), ``"mlp"``
+    (one-hidden-layer MLP, ml/mlp.py), or ``"auto"`` (train the
+    ``model_candidates`` config list on a hash-split train fold, pick by
+    validation accuracy, refit the winner on all examples —
+    ml/model_select.py; the reference pipelines' candidate auto-tuning).
+    Every family exposes the same ``score_expr`` contract so everything
+    downstream is model-agnostic."""
     pos = (
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -118,7 +127,25 @@ def train_link_prediction(
     examples = pair_features(
         pos.unionByName(neg), embeddings, feature_type, id_col, vec_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    lr = train_logistic_regression(examples, **lr_config)
+    selection = None
+    if model == "mlp":
+        from graph_data_science_spark.ml.mlp import train_mlp_classifier
+
+        lr = train_mlp_classifier(examples, **lr_config)
+    elif model == "auto":
+        # upstream parity: train every candidate on a hash-split train
+        # fold, pick by validation accuracy, refit winner on everything
+        from graph_data_science_spark.ml.model_select import select_and_train
+
+        cands = lr_config.pop(
+            "model_candidates", [{"model": "lr"}, {"model": "mlp"}]
+        )
+        res = select_and_train(examples, cands, **lr_config)
+        lr, selection = res.model, res
+    elif model == "lr":
+        lr = train_logistic_regression(examples, **lr_config)
+    else:
+        raise ValueError(f"model must be 'lr', 'mlp' or 'auto', got {model!r}")
     # train-set quality: accuracy at 0.5 (cheap; honest label: TRAIN metric)
     scored = examples.select(
         "label", (lr.score_expr(F.col("features")) >= 0.5).cast("int").alias("pred")
@@ -128,14 +155,18 @@ def train_link_prediction(
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     examples.unpersist()
+    tm = {
+        "train_accuracy": float(acc_row["acc"] or 0.0),
+        "examples": int(acc_row["n"]),
+        "final_loss": lr.metrics[-1]["loss"] if lr.metrics else None,
+    }
+    if selection is not None:
+        tm["selected_model"] = selection.winner
+        tm["candidates"] = selection.candidates
     return LinkPredictionModel(
         feature_type=feature_type.upper(),
         lr=lr,
-        train_metrics={
-            "train_accuracy": float(acc_row["acc"] or 0.0),
-            "examples": int(acc_row["n"]),
-            "final_loss": lr.metrics[-1]["loss"] if lr.metrics else None,
-        },
+        train_metrics=tm,
     )
 
 

@@ -34,21 +34,46 @@ def train_node_classification(
     id_col: str = "vid",
     feat_col: str = "features",
     label_col: str = "label",
+    model: str = "lr",
     **lr_config,
 ) -> NodeClassificationModel:
     """``features``: (id, features array<double>, label). Labels may be
     any orderable type; classes are trained in sorted order
-    (deterministic)."""
+    (deterministic).
+
+    ``model``: ``"lr"`` (default), ``"mlp"`` (one-hidden-layer MLP,
+    ml/mlp.py), or ``"auto"`` (per-class candidate selection on a
+    hash-split validation fold — ml/model_select.py) — one-vs-rest
+    either way; every model family exposes the same ``score_expr``
+    contract, so predict is unchanged."""
     data = features.select(
         F.col(id_col).alias("id"), F.col(feat_col).alias("features"), F.col(label_col).alias("label")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     classes = sorted(r["label"] for r in data.select("label").distinct().collect())
+    if model == "mlp":
+        from graph_data_science_spark.ml.mlp import train_mlp_classifier as _train
+    elif model == "auto":
+        from graph_data_science_spark.ml.model_select import select_and_train
+
+        cands = lr_config.pop(
+            "model_candidates", [{"model": "lr"}, {"model": "mlp"}]
+        )
+
+        def _train(ex, feat_col, label_col, **cfg):
+            return select_and_train(
+                ex, cands, feat_col=feat_col, label_col=label_col, **cfg
+            ).model
+
+    elif model == "lr":
+        _train = train_logistic_regression
+    else:
+        raise ValueError(f"model must be 'lr', 'mlp' or 'auto', got {model!r}")
     per_class = {}
     for c in classes:
         ex = data.select(
             "features", (F.col("label") == F.lit(c)).cast("int").alias("y")
         )
-        per_class[c] = train_logistic_regression(ex, feat_col="features", label_col="y", **lr_config)
+        per_class[c] = _train(ex, feat_col="features", label_col="y", **lr_config)
     # train accuracy via the same argmax expression predict uses
     pred = predict_node_classification(
         NodeClassificationModel(classes=classes, per_class=per_class),

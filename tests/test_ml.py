@@ -120,6 +120,118 @@ class TestNodeRegression:
         assert out.count() == 20
 
 
+class TestMLP:
+    def test_mlp_gd_matches_numpy(self, spark):
+        """Exact parity: the Spark trainer IS full-batch GD on the MLP —
+        same seeded Glorot init, same relu/sigmoid/BCE math, iterate the
+        twin in numpy and compare every parameter."""
+        from graph_data_science_spark.ml.mlp import (
+            init_mlp_params,
+            train_mlp_classifier,
+        )
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(60, 3))
+        y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+        df = spark.createDataFrame(
+            [([float(v) for v in x], float(t)) for x, t in zip(X, y)],
+            "features array<double>, label double",
+        )
+        H, lr, iters = 4, 0.7, 12
+        model = train_mlp_classifier(
+            df, hidden_units=H, learning_rate=lr, max_iterations=iters,
+            tolerance=-1.0, seed=5,
+        )
+        w1l, b1l, w2l, b2 = init_mlp_params(3, H, seed=5)
+        W1, b1, w2 = np.array(w1l), np.array(b1l), np.array(w2l)
+        n = len(y)
+        for _ in range(iters):
+            Z1 = X @ W1.T + b1
+            Hh = np.maximum(Z1, 0.0)
+            p = 1.0 / (1.0 + np.exp(-(Hh @ w2 + b2)))
+            err = p - y
+            gw2 = Hh.T @ err / n
+            delta = (err[:, None] * w2[None, :]) * (Z1 > 0)
+            gW1 = delta.T @ X / n
+            gb1 = delta.sum(axis=0) / n
+            gb2 = err.mean()
+            w2 = w2 - lr * gw2
+            b1 = b1 - lr * gb1
+            W1 = W1 - lr * gW1
+            b2 = b2 - lr * gb2
+        assert np.allclose(np.array(model.w1), W1, atol=1e-9)
+        assert np.allclose(np.array(model.b1), b1, atol=1e-9)
+        assert np.allclose(np.array(model.w2), w2, atol=1e-9)
+        assert abs(model.b2 - b2) < 1e-9
+        losses = [m["loss"] for m in model.metrics]
+        assert losses[-1] < losses[0]
+
+    def test_nodeclass_model_selection_mlp(self, spark):
+        """model='mlp' plugs into the NC pipeline unchanged (same
+        score_expr contract); on a separable set it trains and predicts
+        through the standard argmax path. Bogus model names are rejected
+        in both pipelines."""
+        from graph_data_science_spark.ml.nodeclass import (
+            predict_node_classification,
+            train_node_classification,
+        )
+
+        rows = [(i, [1.0, float(i % 10) - 4.5], int(i % 10 >= 5))
+                for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "vid long, features array<double>, label int"
+        )
+        m = train_node_classification(
+            df, model="mlp", hidden_units=4, learning_rate=1.0,
+            max_iterations=25, tolerance=-1.0,
+        )
+        assert m.train_metrics["train_accuracy"] >= 0.9
+        pred = predict_node_classification(m, df)
+        assert set(pred.columns) == {"id", "predicted", "probability"}
+        with pytest.raises(ValueError, match="mlp"):
+            train_node_classification(df, model="rf0")
+
+    def test_auto_select_picks_better_candidate(self, spark):
+        """model='auto' machinery: a frozen LR (learning_rate=0 — stays
+        at zero weights, val accuracy ~chance) loses to a real LR on a
+        separable set; the winner is refit on ALL examples and the
+        per-candidate report carries both accuracies."""
+        from graph_data_science_spark.ml.model_select import select_and_train
+
+        rows = [([1.0, float(i % 20) - 9.5], int(i % 20 >= 10))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "features array<double>, label int")
+        res = select_and_train(
+            df,
+            candidates=[
+                {"model": "lr", "learning_rate": 0.0, "max_iterations": 2},
+                {"model": "lr", "learning_rate": 1.0, "max_iterations": 40},
+            ],
+            seed=3,
+        )
+        assert res.winner["learning_rate"] == 1.0
+        accs = [c["validation_accuracy"] for c in res.candidates]
+        assert accs[1] > accs[0]
+        acc = df.agg(
+            F.avg(((res.model.score_expr(F.col("features")) >= 0.5).cast("int")
+                   == F.col("label")).cast("double"))
+        ).collect()[0][0]
+        assert acc > 0.95
+
+    def test_linkpred_model_selection_validates(self, spark):
+        from graph_data_science_spark.ml.linkpred import train_link_prediction
+
+        g = _project(
+            spark, ["a", "b", "c"],
+            [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        )
+        emb = g.nodes.select(
+            "vid", F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+        )
+        with pytest.raises(ValueError, match="mlp"):
+            train_link_prediction(g, emb, model="nope")
+
+
 class TestLinkPrediction:
     def test_separable_graph_scores_edges_higher(self, spark):
         from graph_data_science_spark.ml.linkpred import (
