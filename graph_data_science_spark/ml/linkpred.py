@@ -105,12 +105,12 @@ def train_link_prediction(
     hash-deterministic sampler ``_negative_pairs``.
 
     ``model``: ``"lr"`` (logistic regression, default), ``"mlp"``
-    (one-hidden-layer MLP, ml/mlp.py), or ``"auto"`` (train the
-    ``model_candidates`` config list on a hash-split train fold, pick by
-    validation accuracy, refit the winner on all examples —
-    ml/model_select.py; the reference pipelines' candidate auto-tuning).
-    Every family exposes the same ``score_expr`` contract so everything
-    downstream is model-agnostic."""
+    (one-hidden-layer MLP, ml/mlp.py), ``"rf"`` (histogram random
+    forest, ml/rf.py), or ``"auto"`` (train the ``model_candidates``
+    config list on a hash-split train fold, pick by validation accuracy,
+    refit the winner on all examples — ml/model_select.py; the reference
+    pipelines' candidate auto-tuning). Every family exposes the same
+    ``score_expr`` contract so everything downstream is model-agnostic."""
     pos = (
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -132,6 +132,10 @@ def train_link_prediction(
         from graph_data_science_spark.ml.mlp import train_mlp_classifier
 
         lr = train_mlp_classifier(examples, **lr_config)
+    elif model == "rf":
+        from graph_data_science_spark.ml.rf import train_random_forest
+
+        lr = train_random_forest(examples, **lr_config)
     elif model == "auto":
         # upstream parity: train every candidate on a hash-split train
         # fold, pick by validation accuracy, refit winner on everything
@@ -145,7 +149,9 @@ def train_link_prediction(
     elif model == "lr":
         lr = train_logistic_regression(examples, **lr_config)
     else:
-        raise ValueError(f"model must be 'lr', 'mlp' or 'auto', got {model!r}")
+        raise ValueError(
+            f"model must be 'lr', 'mlp', 'rf' or 'auto', got {model!r}"
+        )
     # train-set quality: accuracy at 0.5 (cheap; honest label: TRAIN metric)
     scored = examples.select(
         "label", (lr.score_expr(F.col("features")) >= 0.5).cast("int").alias("pred")
@@ -158,7 +164,7 @@ def train_link_prediction(
     tm = {
         "train_accuracy": float(acc_row["acc"] or 0.0),
         "examples": int(acc_row["n"]),
-        "final_loss": lr.metrics[-1]["loss"] if lr.metrics else None,
+        "final_loss": lr.metrics[-1].get("loss") if lr.metrics else None,
     }
     if selection is not None:
         tm["selected_model"] = selection.winner

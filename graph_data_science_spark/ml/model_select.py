@@ -32,7 +32,11 @@ def _trainer(model: str) -> Callable[..., Any]:
         from graph_data_science_spark.ml.mlp import train_mlp_classifier
 
         return train_mlp_classifier
-    raise ValueError(f"candidate model must be 'lr' or 'mlp', got {model!r}")
+    if model == "rf":
+        from graph_data_science_spark.ml.rf import train_random_forest
+
+        return train_random_forest
+    raise ValueError(f"candidate model must be 'lr', 'mlp' or 'rf', got {model!r}")
 
 
 @dataclass
@@ -89,7 +93,8 @@ def select_and_train(
             ).collect()[0]
             acc = float(acc_row["acc"] or 0.0)
         else:  # degenerate: no validation rows → fall back to train loss
-            acc = -float(m.metrics[-1]["loss"]) if m.metrics else 0.0
+            # (tree models report no loss → 0.0, i.e. candidate-order tie)
+            acc = -float(m.metrics[-1].get("loss", 0.0)) if m.metrics else 0.0
         report.append({"model": name, "config": cfg, "validation_accuracy": acc})
         if acc > best_acc:
             best_i, best_acc = i, acc

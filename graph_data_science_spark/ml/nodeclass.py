@@ -42,16 +42,19 @@ def train_node_classification(
     (deterministic).
 
     ``model``: ``"lr"`` (default), ``"mlp"`` (one-hidden-layer MLP,
-    ml/mlp.py), or ``"auto"`` (per-class candidate selection on a
-    hash-split validation fold — ml/model_select.py) — one-vs-rest
-    either way; every model family exposes the same ``score_expr``
-    contract, so predict is unchanged."""
+    ml/mlp.py), ``"rf"`` (histogram random forest, ml/rf.py), or
+    ``"auto"`` (per-class candidate selection on a hash-split validation
+    fold — ml/model_select.py) — one-vs-rest either way; every model
+    family exposes the same ``score_expr`` contract, so predict is
+    unchanged."""
     data = features.select(
         F.col(id_col).alias("id"), F.col(feat_col).alias("features"), F.col(label_col).alias("label")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     classes = sorted(r["label"] for r in data.select("label").distinct().collect())
     if model == "mlp":
         from graph_data_science_spark.ml.mlp import train_mlp_classifier as _train
+    elif model == "rf":
+        from graph_data_science_spark.ml.rf import train_random_forest as _train
     elif model == "auto":
         from graph_data_science_spark.ml.model_select import select_and_train
 
@@ -67,7 +70,9 @@ def train_node_classification(
     elif model == "lr":
         _train = train_logistic_regression
     else:
-        raise ValueError(f"model must be 'lr', 'mlp' or 'auto', got {model!r}")
+        raise ValueError(
+            f"model must be 'lr', 'mlp', 'rf' or 'auto', got {model!r}"
+        )
     per_class = {}
     for c in classes:
         ex = data.select(

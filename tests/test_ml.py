@@ -120,6 +120,151 @@ class TestNodeRegression:
         assert out.count() == 20
 
 
+def _py_cart(X, y, max_depth, n_bins, min_leaf, min_split):
+    """Pure-python twin of ml/rf.py's histogram CART (single tree, full
+    bag, all features): same equi-width global bins, same level-
+    synchronous growth, same Gini gain with the same strict-> first-max
+    tie-break (dim asc, bin asc) and the same bin-upper-edge thresholds."""
+    n, d = X.shape
+    lo, hi = X.min(0), X.max(0)
+    width = np.where(hi - lo > 0, (hi - lo) / n_bins, 1.0)
+    bins = np.clip(((X - lo) / width).astype(int), 0, n_bins - 1)
+
+    def gini(cnt, pos):
+        p = pos / cnt
+        return 2.0 * p * (1.0 - p)
+
+    node = np.ones(n, dtype=int)
+    splits, leaves = {}, {}
+    for depth in range(max_depth):
+        n_split = 0
+        for nd in sorted(set(node[node > 0])):
+            mask = node == nd
+            tot_n, tot_s = float(mask.sum()), float(y[mask].sum())
+            if tot_n < min_split or tot_s in (0.0, tot_n) or depth == max_depth - 1:
+                leaves[nd] = tot_s / tot_n
+                node[mask] = 0
+                continue
+            best = (0.0, -1, -1)
+            for dim in range(d):
+                for b in range(n_bins):
+                    sel = bins[mask, dim] <= b
+                    cl, sl = float(sel.sum()), float(y[mask][sel].sum())
+                    if cl < min_leaf or tot_n - cl < min_leaf or cl in (0.0, tot_n):
+                        continue
+                    gain = (
+                        gini(tot_n, tot_s)
+                        - (cl / tot_n) * gini(cl, sl)
+                        - ((tot_n - cl) / tot_n) * gini(tot_n - cl, tot_s - sl)
+                    )
+                    if gain > best[0]:
+                        best = (gain, dim, b)
+            if best[1] < 0:
+                leaves[nd] = tot_s / tot_n
+                node[mask] = 0
+                continue
+            dim, b = best[1], best[2]
+            thr = lo[dim] + (b + 1) * width[dim]
+            splits[nd] = (dim, thr)
+            left = mask & (X[:, dim] <= thr)
+            node[left] = 2 * nd
+            node[mask & ~left] = 2 * nd + 1
+            n_split += 1
+        if n_split == 0:
+            break
+    return splits, leaves
+
+
+class TestRandomForest:
+    def test_single_tree_matches_python_cart(self, spark):
+        """Exact structural parity: the distributed histogram CART grows
+        the same tree (same splits, same thresholds, same leaf means) as
+        the pure-python twin on an un-bagged, all-features run."""
+        from graph_data_science_spark.ml.rf import train_random_forest
+
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(120, 3))
+        y = ((X[:, 0] > 0.2) ^ (X[:, 1] < -0.3)).astype(float)
+        df = spark.createDataFrame(
+            [([float(v) for v in x], float(t)) for x, t in zip(X, y)],
+            "features array<double>, label double",
+        )
+        m = train_random_forest(
+            df, num_trees=1, max_depth=4, n_bins=8,
+            min_leaf_size=3, min_split_size=6,
+        )
+        py_splits, py_leaves = _py_cart(
+            X, y, max_depth=4, n_bins=8, min_leaf=3, min_split=6
+        )
+        assert {k: (s.dim, round(s.threshold, 12)) for k, s in m.splits[0].items()} \
+            == {k: (dim, round(thr, 12)) for k, (dim, thr) in py_splits.items()}
+        assert set(m.leaves[0]) == set(py_leaves)
+        for k, p in py_leaves.items():
+            assert abs(m.leaves[0][k] - p) < 1e-12
+        # and the JVM nested-CASE predict reproduces the python walk
+        scored = df.select(
+            F.col("label"), m.score_expr(F.col("features")).alias("p")
+        ).collect()
+        acc = np.mean([(r["p"] >= 0.5) == (r["label"] == 1.0) for r in scored])
+        assert acc >= 0.9
+
+    def test_forest_bagging_deterministic_and_accurate(self, spark):
+        """Bagged, feature-subsampled forest: trees differ (bagging is
+        real), training is hash-deterministic across reruns, and the
+        averaged score separates an XOR-ish set LR cannot."""
+        from graph_data_science_spark.ml.rf import train_random_forest
+
+        rng = np.random.default_rng(3)
+        X = rng.uniform(-1, 1, size=(300, 2))
+        y = ((X[:, 0] > 0) ^ (X[:, 1] > 0)).astype(float)  # XOR: non-linear
+        df = spark.createDataFrame(
+            [([float(v) for v in x], float(t)) for x, t in zip(X, y)],
+            "features array<double>, label double",
+        )
+        kw = dict(num_trees=6, max_depth=5, n_bins=16, subsample=0.7,
+                  min_leaf_size=2, min_split_size=4, seed=9)
+        m1 = train_random_forest(df, **kw)
+        m2 = train_random_forest(df, **kw)
+        s1 = [sorted((k, s.dim, s.threshold) for k, s in t.items()) for t in m1.splits]
+        assert s1 == [
+            sorted((k, s.dim, s.threshold) for k, s in t.items()) for t in m2.splits
+        ]
+        assert len({tuple(t) for t in map(tuple, s1)}) > 1  # bags differ
+        acc = df.select(
+            ((m1.score_expr(F.col("features")) >= 0.5).cast("double")
+             == F.col("label")).cast("double").alias("ok")
+        ).agg(F.avg("ok")).collect()[0][0]
+        assert acc >= 0.9
+
+    def test_rf_through_nc_pipeline_and_auto(self, spark):
+        from graph_data_science_spark.ml.nodeclass import (
+            predict_node_classification,
+            train_node_classification,
+        )
+
+        rows = [(i, [float(i % 10) - 4.5, float(i % 7)], int(i % 10 >= 5))
+                for i in range(80)]
+        df = spark.createDataFrame(
+            rows, "vid long, features array<double>, label int"
+        )
+        m = train_node_classification(
+            df, model="rf", num_trees=3, max_depth=3, seed=1
+        )
+        assert m.train_metrics["train_accuracy"] >= 0.9
+        assert set(predict_node_classification(m, df).columns) == {
+            "id", "predicted", "probability"
+        }
+        m2 = train_node_classification(
+            df,
+            model="auto",
+            model_candidates=[
+                {"model": "lr", "learning_rate": 1.0, "max_iterations": 20},
+                {"model": "rf", "num_trees": 3, "max_depth": 3},
+            ],
+        )
+        assert m2.train_metrics["train_accuracy"] >= 0.9
+
+
 class TestMLP:
     def test_mlp_gd_matches_numpy(self, spark):
         """Exact parity: the Spark trainer IS full-batch GD on the MLP —
