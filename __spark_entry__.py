@@ -1500,6 +1500,59 @@ def q_mlp_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RF_DEPTH = 3
+RF_BINS = 8
+RF_MIN_LEAF = 3
+RF_MIN_SPLIT = 6
+
+
+def q_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-CART decision tree (reference pipelines' random-forest
+    model family, ``model="rf"`` — round 5), run as ONE un-bagged
+    all-features tree so the ENTIRE distributed trainer is SQL-twinnable:
+    deterministic degree/id features, binary target (orig_id % 10 < 4),
+    depth 3, 8 equi-width global bins, min_leaf 3 / min_split 6; predict
+    ALL nodes → (node_id, probability). Oracle
+    (``_random_forest_oracle``): the level-synchronous grower unrolled in
+    SQL — per level, the (node, dim, bin) histogram, the cumulative Gini
+    gain with the engine's exact expression shape, the first-max
+    tie-break (gain DESC, dim ASC, bin ASC ≡ the strict-> scan), the
+    bin-upper-edge thresholds, and the leaf means. Histogram counts/sums
+    are integer-exact doubles and the gain/threshold arithmetic mirrors
+    the driver's Python operation-for-operation, so both sides grow the
+    bit-identical tree (forest-level bagging/feature-subsets are
+    hash/driver-RNG paths pinned by the pure-python twin in
+    tests/test_ml.py instead)."""
+    from graph_data_science_spark.ml.rf import train_random_forest
+
+    g = _graph(spark, sf_dir)
+    feats = (
+        g.degrees("out")
+        .join(g.nodes.select("vid", "orig_id"), "vid")
+        .select(
+            "vid",
+            F.array(
+                F.col("degree").cast("double"),
+                ((F.col("orig_id") % 16) / 8.0).cast("double"),
+                (F.col("orig_id") % 7).cast("double"),
+            ).alias("features"),
+            (F.col("orig_id") % 10 < 4).cast("double").alias("label"),
+        )
+    )
+    model = train_random_forest(
+        feats.filter(F.col("vid") % 2 == 0),
+        num_trees=1,
+        max_depth=RF_DEPTH,
+        n_bins=RF_BINS,
+        min_leaf_size=RF_MIN_LEAF,
+        min_split_size=RF_MIN_SPLIT,
+    )
+    return feats.join(g.nodes, "vid").select(
+        F.col("orig_id").alias("node_id"),
+        F.round(model.score_expr(F.col("features")), 6).alias("probability"),
+    )
+
+
 def q_graph_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random graph generation (reference ``gds.beta.graph.generate``,
     hash-deterministic, distributed): POWER_LAW graph (n=500, avg deg 4,
@@ -1812,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 5 (oracle-backed) ----
         "node_regression": q_node_regression,
         "mlp_classifier": q_mlp_classifier,
+        "random_forest": q_random_forest,
         # ---- never driver-checked before round 5: rows-only ----
         # The rows-only boundary is principled, not lazy: each either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -1853,7 +1907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "sssp": q_sssp,
         "node_similarity": q_node_similarity,
-        "betweenness": q_betweenness,
         "kmeans": q_kmeans,
         "node_classification": q_node_classification,
         "scc": q_scc,
@@ -1865,8 +1918,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (sssp_delta moved here in r5 to make window room for
         # mlp_classifier: it shares sssp's oracle verbatim and sssp
         # stays a canary, so the delta-stepping kernel is still
-        # window-covered transitively)
+        # window-covered transitively; betweenness moved here to make
+        # room for random_forest — green hash rows in r02 AND r04, and
+        # still verified every session via tools/compare_oracle.py)
         "sssp_delta": q_sssp_delta,
+        "betweenness": q_betweenness,
         "graphsage": q_graphsage,
         "event_transitions": q_event_transitions,
         "top_k_degree": q_top_k_degree,
@@ -2928,6 +2984,149 @@ def _node_regression_oracle(iters: int = 5, lr: float = 0.1) -> str:
 SELECT f.node_id,
        round(w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.b, 6) AS predicted
 FROM nrfeat f CROSS JOIN nrw{iters} w
+"""
+    )
+    return "".join(parts)
+
+
+def _random_forest_oracle() -> str:
+    """Histogram-CART twin: the ENTIRE level-synchronous tree grower
+    (ml/rf.py, one un-bagged all-features tree, the exact config of
+    ``q_random_forest``) unrolled in SQL. Per level L: the (node, dim,
+    bin) histogram over the training half, cumulative (cl, sl) per
+    (node, dim) in bin order, the Gini gain with the engine's exact
+    expression shape ``(g(n,s) - (cl/n)*g(cl,sl)) - (nr/n)*g(nr,sr)``
+    where ``g = (2*p)*(1-p)``, leaf settling (n < min_split, pure, or
+    final depth), the first-max split per node (gain DESC, dim ASC,
+    bin ASC ≡ the engine's strict-> scan), bin-upper-edge thresholds
+    ``lo + (bin+1)*width``, and row routing ``x <= thr``. All histogram
+    counts/sums are integer-exact doubles and every division/product
+    mirrors the Python operation order, so the gains — hence the argmax,
+    the tree, and the leaf means — are bit-identical; round(·, 6) of
+    identical doubles is identical on both sides."""
+    nb, depth = RF_BINS, RF_DEPTH
+    ml, ms = RF_MIN_LEAF, RF_MIN_SPLIT
+
+    def gini(n: str, s: str, cl: str, sl: str) -> str:
+        # exact mirror of ml/rf.py _gini_gain (left-assoc, same parens)
+        def g(cnt: str, pos: str) -> str:
+            return f"((2.0 * ({pos} / {cnt})) * (1.0 - ({pos} / {cnt})))"
+
+        return (
+            f"({g(n, s)} - ({cl} / {n}) * {g(cl, sl)})"
+            f" - (({n} - {cl}) / {n}) * "
+            + g(f"({n} - {cl})", f"({s} - {sl})")
+        )
+
+    dims = range(3)
+    parts = [
+        _EDGES_CTE
+        + _NODES_CTE
+        + f"""
+, rfdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+, rffeat AS MATERIALIZED (
+    SELECT n.node_id,
+           coalesce(d.deg, 0)::DOUBLE AS x0,
+           ((n.node_id % 16) / 8.0)::DOUBLE AS x1,
+           (n.node_id % 7)::DOUBLE AS x2,
+           (CASE WHEN n.node_id % 10 < 4 THEN 1.0 ELSE 0.0 END)::DOUBLE AS y,
+           (row_number() OVER (ORDER BY n.node_id) - 1) % 2 AS par
+    FROM nodes n LEFT JOIN rfdeg d ON d.src = n.node_id
+)
+, rftrain AS MATERIALIZED (SELECT * FROM rffeat WHERE par = 0)
+, rfbw AS MATERIALIZED (
+    SELECT {", ".join(
+        f"min(x{i}) AS lo{i}, CASE WHEN max(x{i}) - min(x{i}) > 0 "
+        f"THEN (max(x{i}) - min(x{i})) / {nb} ELSE 1.0 END AS w{i}"
+        for i in dims)}
+    FROM rftrain
+)
+, rfc0 AS MATERIALIZED (
+    SELECT t.node_id, t.x0, t.x1, t.x2, t.y,
+           {", ".join(
+        f"least(greatest(CAST(floor((t.x{i} - b.lo{i}) / b.w{i}) AS INT), 0), {nb - 1}) AS b{i}"
+        for i in dims)},
+           1 AS nd
+    FROM rftrain t CROSS JOIN rfbw b
+)"""
+    ]
+    for L in range(depth):
+        parts.append(
+            f"""
+, rft{L} AS MATERIALIZED (
+    SELECT nd, count(*)::DOUBLE AS n, sum(y)::DOUBLE AS s FROM rfc{L} GROUP BY nd
+)"""
+        )
+        if L == depth - 1:
+            break  # final level: every surviving node is a leaf
+        hist_union = "\n        UNION ALL ".join(
+            f"SELECT nd, y, {i} AS dim, b{i} AS bin FROM rfc{L}" for i in dims
+        )
+        parts.append(
+            f"""
+, rfg{L} AS (
+    SELECT nd, dim, bin, n, s, cl, sl,
+           {gini("n", "s", "cl", "sl")} AS gain
+    FROM (
+        SELECT h.nd, h.dim, h.bin, t.n, t.s,
+               sum(h.cnt) OVER (PARTITION BY h.nd, h.dim ORDER BY h.bin) AS cl,
+               sum(h.sy) OVER (PARTITION BY h.nd, h.dim ORDER BY h.bin) AS sl
+        FROM (
+            SELECT nd, dim, bin, count(*)::DOUBLE AS cnt, sum(y)::DOUBLE AS sy
+            FROM ({hist_union})
+            GROUP BY nd, dim, bin
+        ) h JOIN rft{L} t USING (nd)
+    )
+    WHERE cl >= {ml} AND n - cl >= {ml}
+)
+, rfs{L} AS MATERIALIZED (
+    SELECT g.nd, g.dim, g.bin,
+           CASE g.dim {" ".join(
+        f"WHEN {i} THEN b.lo{i} + (g.bin + 1) * b.w{i}" for i in dims)}
+           END AS thr
+    FROM (
+        SELECT nd, dim, bin,
+               row_number() OVER (
+                   PARTITION BY nd ORDER BY gain DESC, dim ASC, bin ASC
+               ) AS rn
+        FROM rfg{L}
+        WHERE gain > 0.0 AND n >= {ms} AND s > 0.0 AND s < n
+    ) g CROSS JOIN rfbw b
+    WHERE g.rn = 1
+)
+, rfl{L} AS (
+    SELECT t.nd, t.s / t.n AS p FROM rft{L} t
+    WHERE t.nd NOT IN (SELECT nd FROM rfs{L})
+)
+, rfc{L + 1} AS MATERIALIZED (
+    SELECT c.node_id, c.x0, c.x1, c.x2, c.y, c.b0, c.b1, c.b2,
+           CASE WHEN (CASE s.dim WHEN 0 THEN c.x0 WHEN 1 THEN c.x1 ELSE c.x2 END) <= s.thr
+                THEN 2 * c.nd ELSE 2 * c.nd + 1 END AS nd
+    FROM rfc{L} c JOIN rfs{L} s USING (nd)
+)"""
+        )
+    leaf_union = "\n    UNION ALL ".join(
+        f"SELECT nd, p FROM rfl{L}" for L in range(depth - 1)
+    ) + f"\n    UNION ALL SELECT nd, s / n AS p FROM rft{depth - 1}"
+    walk = "\n".join(
+        f""", rfp{L + 1} AS (
+    SELECT p.node_id,{" p.x0, p.x1, p.x2," if L < depth - 2 else ""}
+           CASE WHEN s.nd IS NULL THEN p.nd
+                WHEN (CASE s.dim WHEN 0 THEN p.x0 WHEN 1 THEN p.x1 ELSE p.x2 END) <= s.thr
+                THEN 2 * p.nd ELSE 2 * p.nd + 1 END AS nd
+    FROM rfp{L} p LEFT JOIN rfs{L} s ON s.nd = p.nd
+)"""
+        for L in range(depth - 1)
+    )
+    parts.append(
+        f"""
+, rfleaves AS (
+    {leaf_union}
+)
+, rfp0 AS (SELECT node_id, x0, x1, x2, 1 AS nd FROM rffeat)
+{walk}
+SELECT p.node_id, round(l.p, 6) AS probability
+FROM rfp{depth - 1} p JOIN rfleaves l USING (nd)
 """
     )
     return "".join(parts)
@@ -4262,6 +4461,7 @@ SELECT node1, node2, round(sim_raw, 6) AS similarity FROM ranked WHERE rn <= {KN
         "node_classification": _node_classification_oracle(),
         "node_regression": _node_regression_oracle(),
         "mlp_classifier": _mlp_classifier_oracle(),
+        "random_forest": _random_forest_oracle(),
         "link_prediction": _link_prediction_oracle(),
         "max_kcut": _max_kcut_oracle(),
         "modularity_optimization": _modularity_optimization_oracle(),
