@@ -1143,6 +1143,43 @@ def q_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HDB_CUT = 0.08
+HDB_MIN_CLUSTER = 4
+
+
+def q_hdbscan_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN flat DBSCAN* cut (``cut_distance=`` — reference
+    ``gds.hdbscan`` dbscan mode), the fully-distributed path: exact
+    mutual-reachability graph over a 4-dim embedding slice → Borůvka
+    MST → keep edges ≤ cut → WCC components → clusters of size ≥ 4,
+    rest noise (−1). Oracle (``_hdbscan_cut_oracle``): by the MST
+    bottleneck property, components of {MST edges ≤ cut} equal
+    components of the FULL mutual-reachability graph thresholded at
+    cut — so DuckDB skips the MST entirely: all-pairs distances with
+    the engine's exact left-fold summation order, core distance =
+    k−1-th other neighbor (d ASC, id ASC ties), greatest(d, core_a,
+    core_b) ≤ cut, recursive-CTE min-label components (≡ WCC's
+    min-vid component ids). Distances are bit-identical (same IEEE op
+    order on exact float→double widenings), so the thresholded edge
+    set — an integer graph — matches exactly. Complements the
+    rows-only ``hdbscan`` EOM query with a value-checked row."""
+    from graph_data_science_spark.operators.hdbscan import hdbscan
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(slice(embedding, 1, 4), x -> cast(x as double))"
+        ).alias("vec"),
+    )
+    res = hdbscan(
+        emb,
+        min_cluster_size=HDB_MIN_CLUSTER,
+        cut_distance=HDB_CUT,
+        method="exact",
+    )
+    return res.labels.select("id", F.col("cluster").cast("long").alias("cluster"))
+
+
 def q_max_kcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx max k-cut (k=3, deterministic BSP local search). Rows-only:
     iterative argmin has no SQL twin; bipartite-recovery + cut-monotone +
@@ -1866,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_regression": q_node_regression,
         "mlp_classifier": q_mlp_classifier,
         "random_forest": q_random_forest,
+        "hdbscan_cut": q_hdbscan_cut,
         # ---- never driver-checked before round 5: rows-only ----
         # The rows-only boundary is principled, not lazy: each either
         # (a) depends on Spark's xxhash64 (simhash, ann_lsh, fastrp,
@@ -1907,7 +1945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "sssp": q_sssp,
         "node_similarity": q_node_similarity,
-        "kmeans": q_kmeans,
         "node_classification": q_node_classification,
         "scc": q_scc,
         "label_propagation": q_label_propagation,
@@ -1918,11 +1955,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (sssp_delta moved here in r5 to make window room for
         # mlp_classifier: it shares sssp's oracle verbatim and sssp
         # stays a canary, so the delta-stepping kernel is still
-        # window-covered transitively; betweenness moved here to make
-        # room for random_forest — green hash rows in r02 AND r04, and
-        # still verified every session via tools/compare_oracle.py)
+        # window-covered transitively; betweenness and kmeans moved here
+        # to make room for random_forest and hdbscan_cut — both have
+        # green hash rows in r02 AND r04, and stay verified every
+        # session via tools/compare_oracle.py)
         "sssp_delta": q_sssp_delta,
         "betweenness": q_betweenness,
+        "kmeans": q_kmeans,
         "graphsage": q_graphsage,
         "event_transitions": q_event_transitions,
         "top_k_degree": q_top_k_degree,
@@ -2987,6 +3026,54 @@ FROM nrfeat f CROSS JOIN nrw{iters} w
 """
     )
     return "".join(parts)
+
+
+def _hdbscan_cut_oracle() -> str:
+    """Flat-cut HDBSCAN twin (see ``q_hdbscan_cut``): the MST bottleneck
+    property lets the oracle threshold the FULL mutual-reachability
+    graph instead of replaying Borůvka — components (and hence labels)
+    are provably identical for ANY minimum spanning forest. Distance =
+    sqrt of the engine's exact left-fold ((((0+d1)+d2)+d3)+d4); core =
+    max d over the k−1 nearest others (row_number ties d ASC, id ASC);
+    component id = min node id (≡ wcc's min-vid), via a recursive
+    closure CTE."""
+    k1 = HDB_MIN_CLUSTER - 1  # core distance = (k-1)-th OTHER neighbor
+    dist = (
+        "sqrt(((((0.0 + (a.e1 - b.e1) * (a.e1 - b.e1))"
+        " + (a.e2 - b.e2) * (a.e2 - b.e2))"
+        " + (a.e3 - b.e3) * (a.e3 - b.e3))"
+        " + (a.e4 - b.e4) * (a.e4 - b.e4)))"
+    )
+    return f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+    SELECT vec_id AS id,
+           embedding[1]::DOUBLE AS e1, embedding[2]::DOUBLE AS e2,
+           embedding[3]::DOUBLE AS e3, embedding[4]::DOUBLE AS e4
+    FROM embeddings
+), pd AS MATERIALIZED (
+    SELECT a.id AS a, b.id AS b, {dist} AS d
+    FROM pts a JOIN pts b ON a.id <> b.id
+), hcore AS MATERIALIZED (
+    SELECT a, max(d) AS core FROM (
+        SELECT a, b, d,
+               row_number() OVER (PARTITION BY a ORDER BY d ASC, b ASC) AS rn
+        FROM pd
+    ) WHERE rn <= {k1} GROUP BY a
+), ecut AS MATERIALIZED (
+    SELECT p.a, p.b FROM pd p
+    JOIN hcore ca ON ca.a = p.a JOIN hcore cb ON cb.a = p.b
+    WHERE greatest(p.d, ca.core, cb.core) <= {HDB_CUT}
+), reach AS (
+    SELECT id, id AS comp FROM pts
+    UNION
+    SELECT e.b AS id, r.comp FROM reach r JOIN ecut e ON e.a = r.id
+), comp AS MATERIALIZED (
+    SELECT id, min(comp) AS component FROM reach GROUP BY id
+), sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+SELECT c.id,
+       (CASE WHEN s.sz >= {HDB_MIN_CLUSTER} THEN c.component ELSE -1 END)::BIGINT AS cluster
+FROM comp c JOIN sizes s USING (component)
+"""
 
 
 def _random_forest_oracle() -> str:
@@ -4462,6 +4549,7 @@ SELECT node1, node2, round(sim_raw, 6) AS similarity FROM ranked WHERE rn <= {KN
         "node_regression": _node_regression_oracle(),
         "mlp_classifier": _mlp_classifier_oracle(),
         "random_forest": _random_forest_oracle(),
+        "hdbscan_cut": _hdbscan_cut_oracle(),
         "link_prediction": _link_prediction_oracle(),
         "max_kcut": _max_kcut_oracle(),
         "modularity_optimization": _modularity_optimization_oracle(),

@@ -721,56 +721,94 @@ class _MaxKCutProc:
         return {"cut_weight": res.cut_weight, "ran_iterations": res.iterations}
 
 
-class _LinkPredictionProc:
-    """``gds.beta.pipeline.linkPrediction`` train/predict."""
+class _PipelineProcBase:
+    """Shared catalog round-trip for the pipeline procs (upstream
+    ``...pipeline.*.train`` stores the trained model in the model
+    catalog and ``...predict``/``load`` resolves it by name —
+    ml/serialize.py carries the parameters losslessly through the JSON
+    manifest)."""
 
     def __init__(self, gds: "SparkGDS") -> None:
         self.gds = gds
 
-    def train(self, graph: ProjectedGraph, embeddings: DataFrame, **config):
+    def _store(self, model_name: str | None, model) -> None:
+        if model_name is not None and self.gds.model is not None:
+            from graph_data_science_spark.ml.serialize import model_params
+
+            mtype, params = model_params(model)
+            self.gds.model.store(model_name, mtype, params=params)
+
+    def load(self, model_name: str):
+        """Reconstruct a catalog-stored pipeline model by name (the
+        loaded model's score/predict expressions are bit-identical —
+        floats survive the JSON manifest exactly)."""
+        if self.gds.model is None:
+            raise ValueError("SparkGDS was built without a model_dir")
+        from graph_data_science_spark.ml.serialize import model_from_params
+
+        meta, _arts = self.gds.model.load(model_name)
+        return model_from_params(meta["type"], meta["params"])
+
+
+class _LinkPredictionProc(_PipelineProcBase):
+    """``gds.beta.pipeline.linkPrediction`` train/predict."""
+
+    def train(
+        self,
+        graph: ProjectedGraph,
+        embeddings: DataFrame,
+        model_name: str | None = None,
+        **config,
+    ):
         from graph_data_science_spark.ml.linkpred import train_link_prediction
 
-        return train_link_prediction(graph, embeddings, **config)
+        model = train_link_prediction(graph, embeddings, **config)
+        self._store(model_name, model)
+        return model
 
     def predict(self, model, pairs: DataFrame, embeddings: DataFrame, **config) -> DataFrame:
         from graph_data_science_spark.ml.linkpred import predict_link_prediction
 
+        if isinstance(model, str):
+            model = self.load(model)
         return predict_link_prediction(model, pairs, embeddings, **config)
 
 
-class _NodeClassificationProc:
+class _NodeClassificationProc(_PipelineProcBase):
     """``gds.beta.pipeline.nodeClassification`` train/predict."""
 
-    def __init__(self, gds: "SparkGDS") -> None:
-        self.gds = gds
-
-    def train(self, features: DataFrame, **config):
+    def train(self, features: DataFrame, model_name: str | None = None, **config):
         from graph_data_science_spark.ml.nodeclass import train_node_classification
 
-        return train_node_classification(features, **config)
+        model = train_node_classification(features, **config)
+        self._store(model_name, model)
+        return model
 
     def predict(self, model, features: DataFrame, **config) -> DataFrame:
         from graph_data_science_spark.ml.nodeclass import predict_node_classification
 
+        if isinstance(model, str):
+            model = self.load(model)
         return predict_node_classification(model, features, **config)
 
 
-class _NodeRegressionProc:
+class _NodeRegressionProc(_PipelineProcBase):
     """``gds.alpha.pipeline.nodeRegression`` train/predict (round 5 —
     the last missing pipeline family): a linear head over the same
     feature machinery as node classification (ml/nodereg.py)."""
 
-    def __init__(self, gds: "SparkGDS") -> None:
-        self.gds = gds
-
-    def train(self, features: DataFrame, **config):
+    def train(self, features: DataFrame, model_name: str | None = None, **config):
         from graph_data_science_spark.ml.nodereg import train_node_regression
 
-        return train_node_regression(features, **config)
+        model = train_node_regression(features, **config)
+        self._store(model_name, model)
+        return model
 
     def predict(self, model, features: DataFrame, **config) -> DataFrame:
         from graph_data_science_spark.ml.nodereg import predict_node_regression
 
+        if isinstance(model, str):
+            model = self.load(model)
         return predict_node_regression(model, features, **config)
 
 

@@ -27,9 +27,11 @@ already runs at scale:
    — same order as the result itself — and mirrors the reference, which
    is an in-memory single-node implementation end to end; the distributed
    stages above are the ones that touch the O(n·k) edge data. For a
-   flat cut that must stay fully distributed, ``cut_distance`` skips the
-   condensed tree and runs WCC over MST edges ≤ the threshold (DBSCAN*
-   semantics from the same paper).
+   flat cut that must stay fully distributed, ``cut_distance`` skips
+   BOTH the MST and the condensed tree: by the MST bottleneck property,
+   components of {MST edges ≤ cut} equal components of the thresholded
+   mutual-reachability graph itself, so the cut path is one filter +
+   WCC (DBSCAN* semantics from the same paper).
 """
 
 from __future__ import annotations
@@ -191,36 +193,25 @@ def hdbscan(
         .agg(F.min("w").alias("weight"))
     )
 
-    # MST via the engine's Borůvka over a synthetic projection
-    from graph_data_science_spark.algorithms.spanning import (
-        minimum_spanning_forest,
-    )
     from graph_data_science_spark.projection import ProjectedGraph
 
-    g = ProjectedGraph(
-        name="_hdbscan_mr",
-        nodes=ids.select(F.col("a").alias("orig_id"), F.col("a").alias("vid")),
-        edges=mr.select(
-            F.col("lo").alias("src"), F.col("hi").alias("dst"), "weight"
-        ),
-        orientation="UNDIRECTED",
-        aggregation="MIN",
-        weighted=True,
-        node_count=n,
-        edge_count=mr.count(),
-    )
-    msf = minimum_spanning_forest(g)
+    nodes = ids.select(F.col("a").alias("orig_id"), F.col("a").alias("vid"))
 
     if cut_distance is not None:
-        # flat DBSCAN* cut: components of MST edges ≤ cut, fully
-        # distributed (WCC), singletons = noise
+        # flat DBSCAN* cut: by the MST bottleneck property, components
+        # of {MST edges ≤ cut} equal components of the FULL
+        # mutual-reachability graph thresholded at cut — so the cut
+        # path skips Borůvka entirely (one filter + WCC, the cheapest
+        # fully-distributed plan; also what the SQL oracle twin does)
         from graph_data_science_spark.algorithms.wcc import wcc
 
-        kept = msf.edges.filter(F.col("weight") <= cut_distance)
+        kept = mr.filter(F.col("weight") <= cut_distance)
         gg = ProjectedGraph(
             name="_hdbscan_cut",
-            nodes=g.nodes,
-            edges=kept.select("src", "dst", F.col("weight")),
+            nodes=nodes,
+            edges=kept.select(
+                F.col("lo").alias("src"), F.col("hi").alias("dst"), "weight"
+            ),
             orientation="UNDIRECTED",
             aggregation="MIN",
             weighted=True,
@@ -245,6 +236,26 @@ def hdbscan(
         return HdbscanResult(labels=labels, n_clusters=nc, noise_count=noise,
                              metrics=[{"mode": "cut", "cut": cut_distance,
                                        "method": method}])
+
+    # MST via the engine's Borůvka over a synthetic projection (needed
+    # only for the EOM hierarchy — the flat cut above never builds it)
+    from graph_data_science_spark.algorithms.spanning import (
+        minimum_spanning_forest,
+    )
+
+    g = ProjectedGraph(
+        name="_hdbscan_mr",
+        nodes=nodes,
+        edges=mr.select(
+            F.col("lo").alias("src"), F.col("hi").alias("dst"), "weight"
+        ),
+        orientation="UNDIRECTED",
+        aggregation="MIN",
+        weighted=True,
+        node_count=n,
+        edge_count=mr.count(),
+    )
+    msf = minimum_spanning_forest(g)
 
     # ---- condensed tree + excess-of-mass selection (driver-side, O(n)) --
     edges = [

@@ -636,3 +636,90 @@ class TestGraphSageTrain:
         meta, _arts = gds.model.load("gs1")
         assert meta["type"] == "graphsage"
         assert len(meta["params"]["layers"]) == 1
+
+
+class TestPipelineModelCatalog:
+    """Round 5: pipeline models round-trip through the model catalog
+    (ml/serialize.py) — upstream pipeline .train stores the model and
+    .predict resolves it by name; loaded models must predict
+    BIT-identically (floats survive the JSON manifest exactly)."""
+
+    def _nc_features(self, spark):
+        rows = [(i, [float(i % 10) - 4.5, float(i % 7)], int(i % 10 >= 5))
+                for i in range(60)]
+        return spark.createDataFrame(
+            rows, "vid long, features array<double>, label int"
+        )
+
+    def test_nc_rf_round_trip_bit_identical(self, spark, tmp_path):
+        from graph_data_science_spark.facade import SparkGDS
+
+        gds = SparkGDS(spark, model_dir=str(tmp_path / "models"))
+        df = self._nc_features(spark)
+        m = gds.node_classification.train(
+            df, model_name="nc_rf", model="rf", num_trees=3, max_depth=3, seed=1
+        )
+        meta = [x for x in gds.model.list() if x["name"] == "nc_rf"][0]
+        assert meta["type"] == "node_classification"
+        direct = gds.node_classification.predict(m, df).collect()
+        # predict by NAME — the proc loads and reconstructs the model
+        via_name = gds.node_classification.predict("nc_rf", df).collect()
+        key = lambda r: r["id"]
+        for a, b in zip(sorted(direct, key=key), sorted(via_name, key=key)):
+            assert a["predicted"] == b["predicted"]
+            assert a["probability"] == b["probability"]  # exact
+
+    def test_lp_mlp_round_trip_bit_identical(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from graph_data_science_spark.facade import SparkGDS
+        from graph_data_science_spark.projection import project
+
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 20, 1.0) for i in range(20)]
+            + [(i, (i + 5) % 20, 1.0) for i in range(20)],
+            "src long, dst long, weight double",
+        )
+        g = project(edges, name="lp_cat")
+        emb = g.nodes.select(
+            "vid",
+            F.array(*[((F.col("vid") + k) % 5).cast("double") for k in range(3)])
+            .alias("embedding"),
+        )
+        gds = SparkGDS(spark, model_dir=str(tmp_path / "models"))
+        m = gds.link_prediction.train(
+            g, emb, model_name="lp_mlp", model="mlp",
+            hidden_units=2, learning_rate=0.5, max_iterations=3, seed=7,
+        )
+        pairs = spark.createDataFrame(
+            [(0, 3), (1, 8), (2, 9)], "src long, dst long"
+        )
+        direct = gds.link_prediction.predict(m, pairs, emb).collect()
+        via_name = gds.link_prediction.predict("lp_mlp", pairs, emb).collect()
+        key = lambda r: (r[0], r[1])
+        for a, b in zip(sorted(direct, key=key), sorted(via_name, key=key)):
+            assert a == b  # exact, including the probability column
+
+    def test_nr_round_trip_and_loader_errors(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from graph_data_science_spark.facade import SparkGDS
+
+        rows = [(i, [1.0, float(i % 8)], float(i % 8) * 2.0 + 1.0)
+                for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "vid long, features array<double>, target double"
+        )
+        gds = SparkGDS(spark, model_dir=str(tmp_path / "models"))
+        m = gds.node_regression.train(
+            df, model_name="nr1", learning_rate=0.1, max_iterations=5
+        )
+        loaded = gds.node_regression.load("nr1")
+        assert loaded.lin.weights == m.lin.weights  # exact float round-trip
+        assert loaded.lin.bias == m.lin.bias
+        direct = gds.node_regression.predict(m, df).collect()
+        via_name = gds.node_regression.predict("nr1", df).collect()
+        assert sorted(direct) == sorted(via_name)
+        no_store = SparkGDS(spark)
+        with _pytest.raises(ValueError, match="model_dir"):
+            no_store.node_regression.load("nr1")
