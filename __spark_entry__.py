@@ -1881,7 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r02/r04 and stay verifiable via tools/compare_oracle.py.
     Round 4 recorded the full 82-query gate ALL OK in ~8 min idle
     (2026-08-19); one projection is memoized per (sf_dir, orientation)
-    across the suite."""
+    across the suite. Round 5 re-ran the full gate (now 86 queries / 69
+    oracles, incl. hdbscan_cut at 5.5 s warm) ALL OK on 2026-08-19."""
     return {
         # ---- never driver-checked before round 5: oracle-backed ----
         "link_prediction": q_link_prediction,

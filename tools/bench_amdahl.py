@@ -98,7 +98,8 @@ def main() -> None:
         "serial_fraction_at_32": round(serial_frac_32, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "amdahl.json"), "w") as f:
+    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    with open(os.path.join(REPO, "BENCH", f"amdahl_{stamp}.json"), "w") as f:
         json.dump(out, f, indent=1)
     md = f"""
 
@@ -129,8 +130,11 @@ Least-squares fit **T(c) = S + P/c**: S = {S:.1f} s, P = {P:.1f} s
   the sandbox CAN measure and pin is P's clean 1/c scaling, which the
   R² above certifies.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(md)
+    # append-only since round 5: raw evidence goes to RAW_RUNS.md (+ the
+    # dated JSON above); promoting into the narrative BASELINE.md is a
+    # deliberate manual edit (round-4 VERDICT "What's wrong #1").
+    with open(os.path.join(REPO, "BENCH", "RAW_RUNS.md"), "a") as f:
+        f.write(md.replace("## Amdahl", f"## Run {stamp} — Amdahl"))
     print(json.dumps(out["fit"]), "raw eff:", eff_raw)
 
 
