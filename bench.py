@@ -69,11 +69,26 @@ def run_bench(
     # North-rule throughput: transcripts -> edges -> project -> PageRank.
     from graph_data_science_spark.plans.messaging import EdgePlan
 
+    # Optional derived-edge cache (SPARK_GRAFT_BENCH_EDGE_CACHE=<dir>): the
+    # transcript generator is deterministic (seed 42), so the derived edge
+    # table is byte-identical run to run; persisting it once lets fresh-JVM
+    # scaling cells (tools/bench_scaling.py) skip the multi-minute
+    # generate+derive preamble. The TIMED section below (warm + repeated
+    # full PageRank runs over the projected graph) is identical either way
+    # — the cache only removes untimed setup wall, it is not a bench hack.
+    edge_cache = os.environ.get("SPARK_GRAFT_BENCH_EDGE_CACHE", "")
+    cache_hit = bool(edge_cache) and os.path.exists(os.path.join(edge_cache, "_SUCCESS"))
     t0 = time.time()
-    transcripts = generate_transcripts(
-        spark, n_convs=bench_convs, n_tools=max(20, bench_convs // 2000), seed=42
-    )
-    edges = derive_edges(transcripts)
+    if cache_hit:
+        edges = spark.read.parquet(edge_cache)
+    else:
+        transcripts = generate_transcripts(
+            spark, n_convs=bench_convs, n_tools=max(20, bench_convs // 2000), seed=42
+        )
+        edges = derive_edges(transcripts)
+        if edge_cache:
+            edges.write.mode("overwrite").parquet(edge_cache)
+            edges = spark.read.parquet(edge_cache)
     g = project(edges, name="bench_pr")
     t_project = time.time() - t0
 
@@ -144,6 +159,7 @@ def run_bench(
         "pagerank_runs_sec": runs,
         "pagerank_best_sec": min(runs),
         "plan_build_sec": round(t_plan, 3),
+        "edge_cache_hit": cache_hit,
         "warm_sec": round(t_warm, 3),
         "fused_supersteps": fused,
         "executor": executor,

@@ -63,13 +63,21 @@ def run_at(cpus: int, n_convs: int, supersteps: int) -> dict:
     env.setdefault("SPARK_GRAFT_BENCH_METRICS", "0")
     # fresh-JVM repeats are the OUTER loop here; one timed run per process
     env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "1")
+    # Derived-edge cache: the generator is deterministic, so every cell of
+    # a matrix reads the SAME persisted edge parquet instead of paying the
+    # multi-minute generate+derive preamble per fresh JVM. Only the untimed
+    # setup changes; the timed PageRank section is identical.
+    env.setdefault(
+        "SPARK_GRAFT_BENCH_EDGE_CACHE",
+        os.path.join(REPO, ".bench_cache", f"edges_c{n_convs}"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=max(1800, n_convs // 2000),
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
