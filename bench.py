@@ -78,18 +78,51 @@ def run_bench(
     # — the cache only removes untimed setup wall, it is not a bench hack.
     edge_cache = os.environ.get("SPARK_GRAFT_BENCH_EDGE_CACHE", "")
     cache_hit = bool(edge_cache) and os.path.exists(os.path.join(edge_cache, "_SUCCESS"))
+    # Projected-graph cache (sibling dirs, same determinism argument): the
+    # id-map + vid-edge tables are pure functions of the cached edge table,
+    # so fresh-JVM scaling cells can skip project()'s three full shuffles
+    # (distinct ids -> dense-id windows -> two id-map joins) — at 273M
+    # edges that's ~10 untimed minutes per cell. The TIMED section is
+    # identical: it starts from the same persisted (src,dst,weight)
+    # vid-edge DataFrame either way.
+    pn_dir = edge_cache + "_proj_nodes" if edge_cache else ""
+    pe_dir = edge_cache + "_proj_edges" if edge_cache else ""
+    proj_hit = bool(edge_cache) and all(
+        os.path.exists(os.path.join(d, "_SUCCESS")) for d in (pn_dir, pe_dir)
+    )
     t0 = time.time()
-    if cache_hit:
-        edges = spark.read.parquet(edge_cache)
-    else:
-        transcripts = generate_transcripts(
-            spark, n_convs=bench_convs, n_tools=max(20, bench_convs // 2000), seed=42
+    if proj_hit:
+        from pyspark import StorageLevel
+
+        from graph_data_science_spark.projection import ProjectedGraph
+
+        id_map = spark.read.parquet(pn_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        vid_edges = spark.read.parquet(pe_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        g = ProjectedGraph(
+            name="bench_pr",
+            nodes=id_map,
+            edges=vid_edges,
+            orientation="NATURAL",
+            aggregation="sum",
+            weighted=True,
+            node_count=id_map.count(),
+            edge_count=vid_edges.count(),
         )
-        edges = derive_edges(transcripts)
-        if edge_cache:
-            edges.write.mode("overwrite").parquet(edge_cache)
+    else:
+        if cache_hit:
             edges = spark.read.parquet(edge_cache)
-    g = project(edges, name="bench_pr")
+        else:
+            transcripts = generate_transcripts(
+                spark, n_convs=bench_convs, n_tools=max(20, bench_convs // 2000), seed=42
+            )
+            edges = derive_edges(transcripts)
+            if edge_cache:
+                edges.write.mode("overwrite").parquet(edge_cache)
+                edges = spark.read.parquet(edge_cache)
+        g = project(edges, name="bench_pr")
+        if edge_cache:
+            g.nodes.write.mode("overwrite").parquet(pn_dir)
+            g.edges.write.mode("overwrite").parquet(pe_dir)
     t_project = time.time() - t0
 
     # Headline metric (round-4 redesign per the round-3 verdict): the old
@@ -160,6 +193,7 @@ def run_bench(
         "pagerank_best_sec": min(runs),
         "plan_build_sec": round(t_plan, 3),
         "edge_cache_hit": cache_hit,
+        "proj_cache_hit": proj_hit,
         "warm_sec": round(t_warm, 3),
         "fused_supersteps": fused,
         "executor": executor,
