@@ -178,7 +178,8 @@ def run_bench(
             "noise-amplifying difference of two short walls in r1-r3); "
             "at the default 0.5M-edge graph this wall is driver-serial "
             "dominated - see BENCH/BASELINE.md Amdahl fit; 27M-edge "
-            "best recorded: 7.5M edges/s (r4 cell, BENCH/BASELINE.md)"
+            "best recorded: 13.2M edges/s (r5 sorted-cache cell, "
+            "BENCH/BASELINE.md)"
         ),
         "queries": timings,
         "sf": sf,

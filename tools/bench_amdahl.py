@@ -20,7 +20,8 @@ sandbox at 27M edges it is 30-50% of the local[32] wall, which is what
 caps the raw two-point estimator.
 
 Usage: python tools/bench_amdahl.py [n_convs] [supersteps] [repeats]
-Writes BENCH/amdahl.json and appends a section to BENCH/BASELINE.md.
+Writes a dated BENCH/amdahl_<stamp>.json and appends a section to
+BENCH/RAW_RUNS.md (append-only; BASELINE.md is edited by hand).
 """
 
 from __future__ import annotations
@@ -46,6 +47,13 @@ def run_at(cpus: int, n_convs: int, supersteps: int) -> dict:
     )
     env.setdefault("SPARK_GRAFT_BENCH_FUSED", "1")
     env.setdefault("SPARK_GRAFT_BENCH_METRICS", "0")
+    # same derived-edge/projection cache as bench_scaling.py: every cell
+    # reads the identical parquet instead of re-running the untimed
+    # generate+derive+project preamble per fresh JVM
+    env.setdefault(
+        "SPARK_GRAFT_BENCH_EDGE_CACHE",
+        os.path.join(REPO, ".bench_cache", f"edges_c{n_convs}"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=1800,
